@@ -1,0 +1,83 @@
+"""Crawl configuration — the normative knobs shared by the Spark engine and
+the pure-Python oracle simulator (SURVEY §3.4). Defaults mirror Scrapy's
+``default_settings.py`` (tier [S]) where a counterpart exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Scrapy RETRY_HTTP_CODES default [S:scrapy/downloadermiddlewares/retry.py]
+RETRY_CODES = frozenset({500, 502, 503, 504, 522, 524, 408, 429})
+
+# LinkExtractor IGNORED_EXTENSIONS (subset relevant to the fixture graph)
+# [S:scrapy/linkextractors/__init__.py::IGNORED_EXTENSIONS]
+IGNORED_EXT_RE = (
+    r"(?i)\.(?:jpg|jpeg|png|gif|webp|svg|ico|css|js|pdf|zip|gz|tar|mp3|mp4"
+    r"|avi|mov|doc|docx|xls|xlsx|ppt|exe|bin|dmg)$"
+)
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """All semantics-bearing knobs. Frozen so a run's config is immutable
+    and serializable into the snapshot manifest (C1 resume uses it)."""
+
+    allowed_domains: tuple[str, ...] = ()   # P1 offsite suffix match; () = off
+    depth_limit: int = 6                    # P2 (Scrapy DEPTH_LIMIT=0 means off;
+                                            # we pin a finite default for tests)
+    allow_re: str = ""                      # P4 LinkExtractor allow= ("" = all)
+    deny_re: str = ""                       # P4 deny= ("" = none)
+    max_url_len: int = 2083                 # P3
+    retry_times: int = 2                    # X10 RETRY_TIMES [S]
+    retry_priority_adjust: int = -1         # X10 RETRY_PRIORITY_ADJUST [S]
+    lifo: bool = True                       # F3: True = DFO (Scrapy default
+                                            # memory queue is LIFO [S:squeues])
+    round_cap: int = 64                     # F5 global per-round fetch cap
+                                            # (CONCURRENT_REQUESTS analogue)
+    round_wall_s: float = 8.0               # F4 nominal wall-seconds per round
+    default_crawl_delay_s: float = 0.5      # F4 when host_policy/robots silent
+    default_max_concurrency: int = 8        # CONCURRENT_REQUESTS_PER_DOMAIN [S]
+    max_rounds: int = 1000                  # F6 safety stop
+    page_budget: int = 0                    # F6 CLOSESPIDER_PAGECOUNT (0 = off)
+    bloom_shards: int = 16                  # D3 seen-filter shard count
+    bloom_bits_per_shard: int = 1 << 17     # D3 shard bitset size (bits)
+    bloom_hashes: int = 4                   # D3 k hash functions
+    use_bloom: bool = True                  # D3 prefilter on/off (exactness is
+                                            # guaranteed by J3 either way)
+
+    def budget_for(self, crawl_delay_s: float | None,
+                   max_concurrency: int | None, carry_s: float) -> tuple[int, float]:
+        """F4 per-host politeness budget for one round.
+
+        Returns (budget, avail_s). Deterministic arithmetic shared verbatim
+        with the oracle: a host may fetch at most
+        ``min(max_concurrency, max(1, floor((carry + round_wall)/delay)))``
+        pages this round; the caller computes the new carry as
+        ``min(avail - fetched*delay, round_wall)`` clamped at >= 0.
+        """
+        delay = crawl_delay_s if crawl_delay_s and crawl_delay_s > 0 \
+            else self.default_crawl_delay_s
+        conc = max_concurrency if max_concurrency and max_concurrency > 0 \
+            else self.default_max_concurrency
+        avail = carry_s + self.round_wall_s
+        budget = min(int(conc), max(1, int(avail / delay)))
+        return budget, avail
+
+    def carry_after(self, avail_s: float, fetched: int,
+                    crawl_delay_s: float | None) -> float:
+        delay = crawl_delay_s if crawl_delay_s and crawl_delay_s > 0 \
+            else self.default_crawl_delay_s
+        return max(0.0, min(avail_s - fetched * delay, self.round_wall_s))
+
+    def to_dict(self) -> dict:
+        from dataclasses import asdict
+        d = asdict(self)
+        d["allowed_domains"] = list(self.allowed_domains)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "CrawlConfig":
+        d = dict(d)
+        d["allowed_domains"] = tuple(d.get("allowed_domains", ()))
+        return CrawlConfig(**d)

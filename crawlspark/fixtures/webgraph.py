@@ -1,0 +1,255 @@
+"""Deterministic synthetic web graph (FIXTURES.md §§1-4). seed=42.
+
+The ``pages`` table IS the network: the engine's fetch operator (X7) is a
+join against it, never real HTTP. The generator embeds every golden fact the
+tests need:
+
+  * ``body_html``      — what the fetch "returns"; the engine's extractor
+                         (X8/X9 applyInPandas) parses THIS.
+  * ``body_spans``     — golden interleaved spans (kind,text,media_ref,offset)
+                         that parse_html must reproduce exactly.
+  * ``outlinks_raw``   — golden raw hrefs in discovery order (canonicalizer
+                         fodder: fragments, unsorted query params, stray %xx,
+                         default ports, relative paths, uppercase hosts).
+  * skew: two mega-hosts (booking.test / tripadvisor.test) own ~40% of pages
+    (BASELINE.json:"north_star" skew requirement, exercises J6 salting).
+  * failure modes: 404 / 301 redirect chains / retryable 5xx & 429, some
+    flaky (succeed after N retries) / robots-disallowed /private paths with
+    an /private/open allow carve-out (longest-prefix test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..kernels.canon import canonicalize_url, fingerprint_hex
+from ..kernels.parse import Span, media_ref_for, render_html
+
+MEGA_HOSTS = ["booking.test", "tripadvisor.test"]
+OFFSITE_HOSTS = ["facebook.test", "ads.tracker.test"]
+
+SPAN_T = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+PAGES_SCHEMA = pa.schema([
+    ("url_canon", pa.string()),
+    ("host", pa.string()),
+    ("path", pa.string()),
+    ("status", pa.int32()),
+    ("redirect_to", pa.string()),
+    ("succeeds_after", pa.int32()),   # flaky pages: 200 once retry_count >= this
+    ("latency_ms", pa.float64()),
+    ("title", pa.string()),
+    ("body_html", pa.string()),
+    ("body_spans", pa.list_(SPAN_T)),
+    ("outlinks_raw", pa.list_(pa.string())),
+])
+
+
+def _hosts(n_small: int) -> list[str]:
+    hs = list(MEGA_HOSTS)
+    for i in range(n_small):
+        fam = "example-hotels.test" if i % 2 == 0 else "example-restaurants.test"
+        hs.append(f"h{i}.{fam}")
+    return hs
+
+
+def _mess_up(rng: random.Random, url_canon: str, same_host: bool) -> str:
+    """Produce a raw href that canonicalizes back to ``url_canon``."""
+    from urllib.parse import urlsplit
+    p = urlsplit(url_canon)
+    url = url_canon
+    roll = rng.random()
+    if roll < 0.15 and same_host:
+        url = p.path + (f"?{p.query}" if p.query else "")       # relative
+    elif roll < 0.30:
+        url = url_canon.replace(p.hostname, p.hostname.upper(), 1)
+    elif roll < 0.45 and p.query:
+        ks = p.query.split("&")
+        rng.shuffle(ks)
+        url = f"{p.scheme}://{p.netloc}{p.path}?{'&'.join(ks)}"
+    elif roll < 0.55:
+        url = f"{p.scheme}://{p.netloc}:443{p.path}" + (f"?{p.query}" if p.query else "")
+    elif roll < 0.70 and "/page/" in p.path:
+        url = url_canon.replace("/page/", "/%70age/", 1)        # %70 == 'p'
+    if rng.random() < 0.35:
+        url += "#frag" + str(rng.randrange(10))
+    return url
+
+
+def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
+    rng = random.Random(seed)
+    n_small = max(4, n_pages // 40)
+    hosts = _hosts(n_small)
+
+    # --- allocate pages to hosts: ~20% to each mega host (skew), rest spread
+    page_host: list[str] = []
+    for j in range(n_pages):
+        r = rng.random()
+        if r < 0.20:
+            page_host.append(MEGA_HOSTS[0])
+        elif r < 0.40:
+            page_host.append(MEGA_HOSTS[1])
+        else:
+            page_host.append(hosts[2 + rng.randrange(n_small)])
+
+    # --- canonical URLs (roots first so every host has an index page)
+    urls: list[str] = [f"https://{h}/" for h in hosts]
+    url_host_l: list[str] = list(hosts)
+    for j, h in enumerate(page_host):
+        kind = rng.choice(["hotel", "restaurant", "page", "review"])
+        if rng.random() < 0.35:
+            q = f"?a={rng.randrange(5)}&b={rng.randrange(5)}"
+        else:
+            q = ""
+        path = f"/{kind}/{j}" if rng.random() > 0.08 else (
+            f"/private/open/{j}" if rng.random() < 0.4 else f"/private/{j}")
+        urls.append(canonicalize_url(f"https://{h}{path}{q}"))
+        url_host_l.append(h)
+    # dedupe (query collisions are possible) keeping first occurrence
+    seen_u: dict[str, str] = {}
+    for u, h in zip(urls, url_host_l):
+        seen_u.setdefault(u, h)
+    urls = list(seen_u)
+    url_host_l = [seen_u[u] for u in urls]
+    by_host: dict[str, list[str]] = {}
+    for u, h in zip(urls, url_host_l):
+        by_host.setdefault(h, []).append(u)
+
+    # --- per-page rows
+    rows = []
+    for u, h in zip(urls, url_host_l):
+        from urllib.parse import urlsplit
+        path = urlsplit(u).path
+        is_root = path == "/"
+        r = rng.random()
+        status, redirect_to, succ = 200, None, None
+        if not is_root:
+            if r < 0.04:
+                status = 404
+            elif r < 0.08:
+                status = 301
+                redirect_to = rng.choice(by_host[h])
+                if redirect_to == u:
+                    redirect_to = f"https://{h}/"
+            elif r < 0.11:
+                status = rng.choice([500, 503, 429])
+                if rng.random() < 0.5:
+                    succ = rng.randrange(1, 3)   # flaky: ok after 1-2 retries
+            elif r < 0.12:
+                status = 403                      # non-retryable error
+        latency = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
+
+        # spans: 1-6 interleaved text/media pieces
+        spans: list[Span] = []
+        media_srcs: list[str] = []
+        for t in range(rng.randrange(1, 7)):
+            if rng.random() < 0.3:
+                src = f"/img/{int(fingerprint_hex(u)[:8], 16) % 10_000}_{t}.jpg" \
+                    if rng.random() < 0.7 else f"https://cdn.{h}/m/{t}.png"
+                spans.append(Span("media", None, media_ref_for(u, src), t))
+                media_srcs.append(src)
+            else:
+                spans.append(Span(
+                    "text",
+                    f"{h} {path} para {t}: "
+                    + " ".join(rng.choice(["stay", "eat", "view", "price",
+                                           "rooms", "menu", "clean", "<b>",
+                                           "café", "5★"]) for _ in range(8)),
+                    None, t))
+
+        # outlinks: roots fan out wide; leaf pages link a few
+        n_links = rng.randrange(8, 16) if is_root else rng.randrange(0, 6)
+        hrefs: list[str] = []
+        for _ in range(n_links):
+            lr = rng.random()
+            if lr < 0.70:                                  # same-host
+                tgt = rng.choice(by_host[h])
+                hrefs.append(_mess_up(rng, tgt, same_host=True))
+            elif lr < 0.82:                                # cross-host in-scope
+                oh = rng.choice(hosts)
+                hrefs.append(_mess_up(rng, rng.choice(by_host[oh]), False))
+            elif lr < 0.88:                                # offsite (P1 fodder)
+                hrefs.append(f"https://{rng.choice(OFFSITE_HOSTS)}/x/{rng.randrange(99)}")
+            elif lr < 0.93:                                # bad scheme (P3)
+                hrefs.append(rng.choice(["mailto:a@b.test",
+                                         "javascript:void(0)",
+                                         "ftp://files.test/f"]))
+            elif lr < 0.97:                                # ignored ext (P3)
+                hrefs.append(f"https://{h}/brochure/{rng.randrange(99)}.pdf")
+            else:                                          # over-long (P3)
+                hrefs.append(f"https://{h}/l/" + "x" * 2200)
+        title = f"{h}{path}"
+        body = render_html(title, spans, hrefs, media_srcs)
+        rows.append((u, h, path, status, redirect_to, succ, latency, title,
+                     body, [s._asdict() for s in spans], hrefs))
+
+    pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
+
+    # --- robots (Protego subset): disallow /private, allow /private/open
+    rrows = []
+    for h in hosts:
+        dis = ["/private"] if rng.random() < 0.8 else []
+        alw = ["/private/open"] if dis and rng.random() < 0.7 else []
+        if rng.random() < 0.2:
+            dis.append("/review")
+        delay = round(rng.choice([0.0, 0.25, 0.5, 1.0]), 2) or None
+        rrows.append((h, alw, dis, delay))
+    robots = pd.DataFrame(
+        rrows, columns=["host", "allow_prefixes", "disallow_prefixes",
+                        "crawl_delay_s"])
+
+    # --- host_policy: mega hosts get salt_n>1 (explicit skew handling J6)
+    prows = []
+    for h in hosts:
+        mega = h in MEGA_HOSTS
+        prows.append((h,
+                      round(rng.choice([0.25, 0.5, 0.75, 1.0]), 2),
+                      8 if mega else rng.choice([2, 4, 8]),
+                      8 if mega else 1))
+    host_policy = pd.DataFrame(
+        prows, columns=["host", "crawl_delay_s", "max_concurrency", "salt_n"])
+
+    # --- seeds: both megas + a sample of small hosts, roots first (R1 order)
+    seed_hosts = MEGA_HOSTS + [h for h in hosts[2:] if rng.random() < 0.6]
+    seeds = pd.DataFrame({
+        "seed_id": range(len(seed_hosts)),
+        "url": [f"https://{h}/" for h in seed_hosts],
+    })
+
+    return {"seeds": seeds, "pages": pages, "robots": robots,
+            "host_policy": host_policy}
+
+
+def default_config() -> CrawlConfig:
+    return CrawlConfig(
+        allowed_domains=("example-hotels.test", "example-restaurants.test",
+                         *MEGA_HOSTS),
+    )
+
+
+def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
+                  config: CrawlConfig | None = None) -> CrawlConfig:
+    os.makedirs(out_dir, exist_ok=True)
+    dfs = generate(n_pages=n_pages, seed=seed)
+    pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
+                                        preserve_index=False),
+                   os.path.join(out_dir, "pages.parquet"))
+    for name in ("seeds", "robots", "host_policy"):
+        pq.write_table(pa.Table.from_pandas(dfs[name], preserve_index=False),
+                       os.path.join(out_dir, f"{name}.parquet"))
+    cfg = config or default_config()
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg.to_dict(), f, indent=1)
+    return cfg

@@ -1,0 +1,83 @@
+"""HTML render + interleaved-span extractor (SURVEY.md §2.8 X8/X9).
+
+The reference extracts, per fetched page and in document order, a sequence of
+text blocks and media references (parsel XPath walk + ImagesPipeline refs,
+tier [S]) — pinned by BASELINE.json:"input_hint" to the output schema
+``(doc_id, spans:array<struct<kind,text,media_ref,offset:int32>>)``.
+
+No lxml/parsel in-sandbox, so the fixture generator emits a small
+deterministic HTML dialect and this module parses it with ordered regex
+walks. ``render_html`` (generator) and ``parse_html`` (engine + oracle) are
+exact inverses, which tests assert; the engine additionally asserts
+span-sequence equality against the fixture's golden ``body_spans`` column.
+
+media_ref spec (SURVEY §2.1 O2, tier [S:scrapy/pipelines/files.py::
+FilesPipeline.file_path]): ``full/<sha1-of-canonical-absolute-media-url>`` —
+a computed column, no binary blobs stored.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import NamedTuple
+
+import hashlib
+
+from .canon import absolutize, canonicalize_url
+
+
+class Span(NamedTuple):
+    kind: str            # 'text' | 'media'
+    text: str | None     # null for media spans
+    media_ref: str | None  # null for text spans
+    offset: int          # 0-based dense position in document order
+
+
+def media_ref_for(base_url: str, src: str) -> str:
+    """full/<sha1(canonical absolute media url)> — deterministic media path."""
+    canon = canonicalize_url(absolutize(base_url, src))
+    return "full/" + hashlib.sha1(canon.encode("utf-8")).hexdigest()
+
+
+def render_html(title: str, spans: list[Span], hrefs: list[str],
+                media_srcs: list[str]) -> str:
+    """Render the fixture page. ``media_srcs[i]`` is the raw src of the i-th
+    media span (spans store only the derived media_ref)."""
+    out = [f"<html><head><title>{_html.escape(title)}</title></head><body>"]
+    m = 0
+    for s in spans:
+        if s.kind == "text":
+            out.append(f"<p>{_html.escape(s.text, quote=False)}</p>")
+        else:
+            out.append(f'<img src="{_html.escape(media_srcs[m])}"/>')
+            m += 1
+    out.append("<ul>")
+    for h in hrefs:
+        out.append(f'<li><a href="{_html.escape(h)}">l</a></li>')
+    out.append("</ul></body></html>")
+    return "".join(out)
+
+
+_SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"/>", re.S)
+_HREF_RE = re.compile(r"<a href=\"([^\"]*)\">")
+
+
+def parse_html(base_url: str, body: str) -> tuple[list[Span], list[str]]:
+    """Extract (spans in document order, raw hrefs in discovery order).
+
+    hrefs are returned RAW (un-absolutized, un-canonicalized) — the engine's
+    link pipeline (D1/D2 + P1–P4) owns normalization, mirroring Scrapy where
+    LinkExtractor absolutizes but fingerprinting canonicalizes [S].
+    """
+    spans: list[Span] = []
+    for i, m in enumerate(_SPAN_RE.finditer(body)):
+        text, src = m.group(1), m.group(2)
+        if text is not None:
+            spans.append(Span("text", _html.unescape(text), None, i))
+        else:
+            spans.append(
+                Span("media", None, media_ref_for(base_url, _html.unescape(src)), i)
+            )
+    hrefs = [_html.unescape(h) for h in _HREF_RE.findall(body)]
+    return spans, hrefs

@@ -1,0 +1,272 @@
+"""Deterministic pure-Python crawl oracle (SURVEY.md §3.4 R1–R6, §5.2 item 2).
+
+This is the executable spec of the reference's crawl semantics, serialized:
+Scrapy's scheduler/dupefilter/politeness behavior (tier [S]) made
+deterministic per SURVEY §3.4. The Spark engine must reproduce its outputs
+EXACTLY: crawl order (list), seen set (set), per-document span sequences,
+and per-(round,host) metrics. Engine and oracle import the same kernels
+(canonicalize / fingerprint / parse / robots), so kernel parity is by
+construction; what this module independently specifies is ORDERING and
+STATE EVOLUTION.
+
+Normative rules implemented here (R-numbers from SURVEY §3.4):
+  R1  seeds get enqueue_seq 0..n-1 in seed-list order; deduped; no P-filters.
+  R2  every raw discovered candidate (outlink, redirect target, or retry
+      pseudo-link) consumes one enqueue_seq, in (fetch order × within-page
+      discovery order); filters decide enqueue but never seq assignment.
+  R3  dedup-at-enqueue: candidate dropped iff fingerprint already seen;
+      seen grows immediately (intra-round dedup falls out sequentially).
+  R4  per-host dequeue order: priority DESC, then enqueue_seq DESC (LIFO)
+      or ASC (FIFO); global order: priority DESC, host_rank ASC, seq ASC.
+  R5  crawl order = concatenation over rounds of fetch lists in global rank.
+  R6  fingerprint = sha1('GET' || canonical_url) hex.
+
+Additional pinned semantics (shared with the engine, see config.py):
+  * robots gating at DEQUEUE time (Scrapy RobotsTxtMiddleware runs in the
+    downloader [S]); blocked requests leave the frontier permanently and ARE
+    in the seen set (they were enqueued).
+  * effective crawl delay = max(host_policy.crawl_delay_s,
+    robots.crawl_delay_s) with config default when both null.
+  * politeness budget + fractional carry per CrawlConfig.budget_for /
+    carry_after; carry updates for every host that had >=1 eligible
+    candidate this round.
+  * retries: status in RETRY_CODES and retry_count < retry_times re-enqueues
+    the same fingerprint (dont_filter) with priority += retry_priority_adjust
+    and a fresh seq; flaky pages (succeeds_after) serve 200 once
+    retry_count >= succeeds_after.
+  * redirects (3xx): target treated as the page's single discovered link,
+    but keeps the parent's depth and priority.
+  * documents: doc_id = fingerprint of the fetched canonical URL; spans from
+    parse_html; only status-200 fetches produce documents.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..config import RETRY_CODES, IGNORED_EXT_RE, CrawlConfig
+from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
+from ..kernels.parse import parse_html
+from ..kernels.robots import robots_allowed
+from urllib.parse import urlsplit
+
+_RETRY = object()  # pseudo-link sentinel
+
+
+@dataclass
+class _Req:
+    fingerprint: str
+    url_canon: str
+    host: str
+    priority: int
+    depth: int
+    seq: int
+    retry_count: int = 0
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[dict] = field(default_factory=list)  # rank,fp,url,round,host,status
+    seen: set[str] = field(default_factory=set)
+    documents: dict[str, list[dict]] = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)      # per (round, host)
+    rounds: int = 0
+
+
+def _suffix_match(host: str, domains: tuple[str, ...]) -> bool:
+    if not domains:
+        return True
+    return any(host == d or host.endswith("." + d) for d in domains)
+
+
+def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
+             max_rounds: int | None = None) -> OracleResult:
+    pages = {
+        r.url_canon: r for r in fixture["pages"].itertuples(index=False)
+    }
+    robots = {
+        r.host: r for r in fixture["robots"].itertuples(index=False)
+    }
+    policy = {
+        r.host: r for r in fixture["host_policy"].itertuples(index=False)
+    }
+    ignored_ext = re.compile(IGNORED_EXT_RE)
+    allow_re = re.compile(cfg.allow_re) if cfg.allow_re else None
+    deny_re = re.compile(cfg.deny_re) if cfg.deny_re else None
+
+    res = OracleResult()
+    pending: dict[str, _Req] = {}
+    carry: dict[str, float] = {}
+    next_seq = 0
+    rank = 0
+
+    def eff_delay(host: str) -> float:
+        p = policy.get(host)
+        r = robots.get(host)
+        d1 = float(p.crawl_delay_s) if p is not None and p.crawl_delay_s else 0.0
+        d2 = float(r.crawl_delay_s) if r is not None and r.crawl_delay_s \
+            and not pd.isna(r.crawl_delay_s) else 0.0
+        return max(d1, d2) or cfg.default_crawl_delay_s
+
+    def max_conc(host: str) -> int:
+        p = policy.get(host)
+        return int(p.max_concurrency) if p is not None else cfg.default_max_concurrency
+
+    # ---- R1: seeds --------------------------------------------------------
+    for _, row in fixture["seeds"].sort_values("seed_id").iterrows():
+        canon = canonicalize_url(row["url"])
+        fp = fingerprint_hex(canon)
+        seq = next_seq
+        next_seq += 1
+        if fp in res.seen:
+            continue
+        res.seen.add(fp)
+        pending[fp] = _Req(fp, canon, urlsplit(canon).hostname or "", 0, 0, seq)
+
+    total_fetched = 0
+    max_r = max_rounds if max_rounds is not None else cfg.max_rounds
+
+    for rnd in range(max_r):
+        if not pending:
+            break
+        res.rounds = rnd + 1
+        m: dict[str, dict] = {}
+
+        def mc(host: str, key: str, n: int = 1):
+            d = m.setdefault(host, {
+                "fetched": 0, "ok": 0, "errors": 0, "redirects": 0,
+                "retried": 0, "discovered": 0, "enqueued": 0, "deduped": 0,
+                "filtered": 0, "robots_blocked": 0})
+            d[key] += n
+
+        # ---- robots gating at dequeue (P5) --------------------------------
+        eligible: list[_Req] = []
+        for req in list(pending.values()):
+            rb = robots.get(req.host)
+            path = urlsplit(req.url_canon).path or "/"
+            if rb is not None and not robots_allowed(
+                    path,
+                    list(rb.allow_prefixes) if rb.allow_prefixes is not None else [],
+                    list(rb.disallow_prefixes) if rb.disallow_prefixes is not None else []):
+                del pending[req.fingerprint]
+                mc(req.host, "robots_blocked")
+                continue
+            eligible.append(req)
+
+        # ---- F3/F4: per-host budget + ordering ----------------------------
+        by_host: dict[str, list[_Req]] = {}
+        for req in eligible:
+            by_host.setdefault(req.host, []).append(req)
+
+        selected: list[tuple[_Req, int]] = []  # (req, host_rank)
+        avail_by_host: dict[str, float] = {}
+        budget_by_host: dict[str, int] = {}
+        for host, reqs in by_host.items():
+            budget, avail = cfg.budget_for(eff_delay(host), max_conc(host),
+                                           carry.get(host, 0.0))
+            avail_by_host[host] = avail
+            budget_by_host[host] = budget
+            reqs.sort(key=lambda q: (-q.priority,
+                                     -q.seq if cfg.lifo else q.seq))
+            for i, q in enumerate(reqs[:budget]):
+                selected.append((q, i + 1))
+
+        # ---- F5: global cap + total order (R4) ----------------------------
+        selected.sort(key=lambda t: (-t[0].priority, t[1], t[0].seq))
+        fetch_list = [q for q, _ in selected[:cfg.round_cap]]
+
+        fetched_per_host: dict[str, int] = {}
+        round_base = next_seq
+
+        # ---- fetch in rank order (R5) + discover (R2) ----------------------
+        for req in fetch_list:
+            del pending[req.fingerprint]
+            fetched_per_host[req.host] = fetched_per_host.get(req.host, 0) + 1
+            page = pages.get(req.url_canon)
+            if page is None:
+                status = 404
+            elif page.succeeds_after is not None \
+                    and not pd.isna(page.succeeds_after) \
+                    and req.retry_count >= int(page.succeeds_after):
+                status = 200
+            else:
+                status = int(page.status)
+            rank += 1
+            res.crawl_order.append({
+                "rank": rank, "fingerprint": req.fingerprint,
+                "url_canon": req.url_canon, "round": rnd, "host": req.host,
+                "status": status, "depth": req.depth,
+            })
+            total_fetched += 1
+            mc(req.host, "fetched")
+
+            stream: list = []
+            if status in RETRY_CODES:
+                mc(req.host, "errors")
+                if req.retry_count < cfg.retry_times:
+                    stream = [_RETRY]
+            elif 300 <= status < 400 and page is not None \
+                    and isinstance(page.redirect_to, str) and page.redirect_to:
+                mc(req.host, "redirects")
+                stream = [page.redirect_to]
+            elif status == 200 and page is not None:
+                mc(req.host, "ok")
+                spans, hrefs = parse_html(req.url_canon, page.body_html)
+                res.documents[req.fingerprint] = [s._asdict() for s in spans]
+                stream = hrefs
+            else:
+                mc(req.host, "errors")
+
+            is_redirect = 300 <= status < 400
+            for item in stream:
+                seq = next_seq
+                next_seq += 1
+                mc(req.host, "discovered")
+                if item is _RETRY:
+                    pending[req.fingerprint] = _Req(
+                        req.fingerprint, req.url_canon, req.host,
+                        req.priority + cfg.retry_priority_adjust, req.depth,
+                        seq, req.retry_count + 1)
+                    mc(req.host, "retried")
+                    continue
+                canon = canonicalize_url(absolutize(req.url_canon, item))
+                sp = urlsplit(canon)
+                host = (sp.hostname or "").lower()
+                path = sp.path or "/"
+                depth = req.depth if is_redirect else req.depth + 1
+                # P3 scheme/len/ext, P4 allow/deny, P1 offsite, P2 depth
+                if (sp.scheme not in ("http", "https")
+                        or len(canon) > cfg.max_url_len
+                        or ignored_ext.search(path)
+                        or (allow_re and not allow_re.search(canon))
+                        or (deny_re and deny_re.search(canon))
+                        or not _suffix_match(host, cfg.allowed_domains)
+                        or depth > cfg.depth_limit):
+                    mc(req.host, "filtered")
+                    continue
+                fp = fingerprint_hex(canon)
+                if fp in res.seen:                      # R3
+                    mc(req.host, "deduped")
+                    continue
+                res.seen.add(fp)
+                prio = req.priority if is_redirect else 0
+                pending[fp] = _Req(fp, canon, host, prio, depth, seq)
+                mc(req.host, "enqueued")
+
+        # ---- carry update for hosts with eligible candidates ---------------
+        for host in by_host:
+            carry[host] = cfg.carry_after(
+                avail_by_host[host], fetched_per_host.get(host, 0),
+                eff_delay(host))
+
+        for host, d in sorted(m.items()):
+            res.metrics.append({"round": rnd, "host": host, **d})
+
+        if cfg.page_budget and total_fetched >= cfg.page_budget:
+            break
+        _ = round_base  # documented anchor for engine parity (R2)
+
+    return res
