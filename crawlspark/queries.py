@@ -1,0 +1,675 @@
+"""Driver-contract query surface (SURVEY §2 Q1-Q5 + training-pipeline ops).
+
+Each entry re-expresses one operator family from the crawl engine (window
+dequeue, anti-join dedup, politeness aggregates, ...) or a large-scale
+training-data-pipeline operation (exact/near dedup, similarity search,
+text analysis) over the driver's TPC-H-ish testdata, so the DuckDB oracle
+can verify it at sf0.01 (CORRECTNESS_r{N}.json).
+
+Conventions (driver compare is column-name-sorted value hashing):
+  * every computed column is aliased IDENTICALLY in Spark and SQL;
+  * counts cast to BIGINT on both sides; doubles rounded to 6 decimals;
+  * every ORDER-dependent query carries a total order via unique keys.
+
+Scale notes: joins to small dims are broadcast; aggregations are partial+
+final hash aggs; window queries partition by their natural key (user_id /
+doc bucket) — no global single-partition windows except bounded top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# crawl-operator analogues over `events` (FIXTURES.md §7: host≈user_id)
+# =====================================================================
+
+def q_frontier_topk(spark, sf):
+    """F3 per-host priority dequeue: top-3 per user by (value desc, id)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id").asc())
+    return (e.withColumn("rn", F.row_number().over(w).cast("long"))
+            .filter(F.col("rn") <= 3)
+            .select("user_id", "event_id",
+                    F.round("value", 6).alias("value"), "rn"))
+
+
+SQL_FRONTIER_TOPK = """
+SELECT user_id, event_id, ROUND(value, 6) AS value, rn
+FROM (SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+def q_frontier_dequeue(spark, sf):
+    """F3+F4+F5 flagship: per-host budget (2) then global round cap (50)
+    with the engine's exact ordering contract (R4)."""
+    e = _t(spark, sf, "events")
+    w_host = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                                   F.col("event_id").desc())
+    ranked = (e.withColumn("host_rank", F.row_number().over(w_host).cast("long"))
+              .filter(F.col("host_rank") <= 2))
+    w_glob = Window.orderBy(F.col("value").desc(), F.col("host_rank").asc(),
+                            F.col("event_id").asc())
+    return (ranked.withColumn("fetch_rank", F.row_number().over(w_glob).cast("long"))
+            .filter(F.col("fetch_rank") <= 50)
+            .select("fetch_rank", "user_id", "event_id",
+                    F.round("value", 6).alias("value"), "host_rank"))
+
+
+SQL_FRONTIER_DEQUEUE = """
+SELECT fetch_rank, user_id, event_id, ROUND(value, 6) AS value, host_rank
+FROM (SELECT user_id, event_id, value, host_rank,
+             ROW_NUMBER() OVER (ORDER BY value DESC, host_rank ASC,
+                                event_id ASC) AS fetch_rank
+      FROM (SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id DESC)
+                       AS host_rank
+            FROM events)
+      WHERE host_rank <= 2)
+WHERE fetch_rank <= 50
+"""
+
+
+def q_seen_anti_join(spark, sf):
+    """J3/S2 dedup kernel: customers never seen in orders (left anti)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_semi_join(spark, sf):
+    """J5 left-semi: customers with at least one order."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_intra_batch_dedup(spark, sf):
+    """D4: first event per (user_id, event_type) by (ts, event_id)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts"))
+
+
+SQL_INTRA_BATCH_DEDUP = """
+SELECT user_id, event_type, event_id, ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_set_ops(spark, sf):
+    """S3: (clickers ∩ viewers) \\ error-users."""
+    e = _t(spark, sf, "events")
+    def users(t):
+        return e.filter(F.col("event_type") == t).select("user_id").distinct()
+    return users("click").intersect(users("view")) \
+        .subtract(users("error")).select("user_id")
+
+
+SQL_SET_OPS = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+"""
+
+
+# =====================================================================
+# aggregates / windows / sorts (A*, Q3-Q5)
+# =====================================================================
+
+def q_pricing_summary(spark, sf):
+    """A1/Q3 (TPC-H Q1 shape): grouped agg with partial+final hash agg."""
+    l = _t(spark, sf, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf):
+    """J1-style broadcast dim joins: orders⋈customer⋈nation⋈region."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_rollup_customers(spark, sf):
+    """Q3 rollup: customer counts per region→nation with subtotals."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+SQL_ROLLUP_CUSTOMERS = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_event_histogram(spark, sf):
+    """A2/A4: global per-type stats."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+SQL_EVENT_HISTOGRAM = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_value_percentiles(spark, sf):
+    """A5 latency-percentile analogue: exact p50/p95 per event_type."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95")))
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def q_window_lag(spark, sf):
+    """Q4 lag/lead: per-user value delta over time."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    return (e.withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("delta", F.round(F.col("value")
+                                         - F.coalesce(F.col("prev_value"),
+                                                      F.lit(0.0)), 6))
+            .select("user_id", "event_id",
+                    F.round("value", 6).alias("value"), "delta"))
+
+
+SQL_WINDOW_LAG = """
+SELECT user_id, event_id, ROUND(value, 6) AS value,
+       ROUND(value - COALESCE(LAG(value) OVER
+             (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 0.0), 6)
+           AS delta
+FROM events
+"""
+
+
+def q_tumbling_hourly(spark, sf):
+    """Q5 event-time tumbling window (batch mode, SURVEY §2.9)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type",
+                    "n", "sum_value"))
+
+
+SQL_TUMBLING_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark, sf):
+    """SF5 JSON ops: extract props.k, aggregate per event_type."""
+    e = _t(spark, sf, "events")
+    return (e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_orders(spark, sf):
+    """Q4 orderBy().limit() top-k (TakeOrdered — no global sort)."""
+    o = _t(spark, sf, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_string_funcs(spark, sf):
+    """SF3 string kernel: normalize p_type, extract brand number."""
+    p = _t(spark, sf, "part")
+    return (p.withColumn("type_head", F.lower(F.split("p_type", " ")[0]))
+            .withColumn("brand_num",
+                        F.regexp_extract("p_brand", "(\\d+)", 1).cast("long"))
+            .groupBy("type_head")
+            .agg(F.count("*").alias("n"),
+                 F.sum("brand_num").alias("sum_brand"),
+                 F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+SQL_STRING_FUNCS = """
+SELECT lower(split_part(p_type, ' ', 1)) AS type_head, COUNT(*) AS n,
+       CAST(SUM(CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_brand,
+       ROUND(AVG(p_retailprice), 4) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+# =====================================================================
+# training-pipeline ops: dedup / fingerprint / text / similarity
+# =====================================================================
+
+def q_docs_fingerprint(spark, sf):
+    """Document fingerprinting: md5 of whitespace-normalized text (exact-
+    dedup key; D2 analogue over documents)."""
+    d = _t(spark, sf, "documents")
+    return (d.withColumn(
+                "fp", F.md5(F.lower(F.regexp_replace(F.trim("text"),
+                                                     "\\s+", " "))))
+            .select("doc_id", "fp"))
+
+
+SQL_DOCS_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_docs_exact_dedup(spark, sf):
+    """Exact dedup via hash-groupBy: one keeper per distinct text."""
+    d = _t(spark, sf, "documents")
+    return (d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_docs_token_stats(spark, sf):
+    """Token counting (whitespace tokenizer) + per-lang stats."""
+    d = _t(spark, sf, "documents")
+    toks = d.withColumn("n_tokens",
+                        F.size(F.split(F.trim("text"), "\\s+")).cast("long"))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))
+
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS total_tokens,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 6)
+           AS avg_tokens,
+       CAST(MAX(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_quality(spark, sf):
+    """Quality scoring: length/alpha-ratio/mean-word-length heuristics."""
+    d = _t(spark, sf, "documents")
+    return (d.withColumn("n_tokens",
+                         F.size(F.split(F.trim("text"), "\\s+")).cast("long"))
+            .withColumn("n_alpha",
+                        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+                        .cast("long"))
+            .withColumn("alpha_ratio",
+                        F.round(F.col("n_alpha")
+                                / F.greatest(F.length("text"), F.lit(1)), 6))
+            .withColumn("mean_word_len",
+                        F.round(F.col("n_alpha")
+                                / F.greatest(F.col("n_tokens"), F.lit(1)), 6))
+            .select("doc_id", "n_tokens", "alpha_ratio", "mean_word_len"))
+
+
+SQL_DOCS_QUALITY = """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+           AS mean_word_len
+FROM documents
+"""
+
+
+def q_docs_langid(spark, sf):
+    """Language-ID heuristic: stopword-hit scoring, confusion counts vs the
+    labeled lang column. Deterministic formula mirrored in the oracle."""
+    d = _t(spark, sf, "documents")
+    def hits(word):
+        padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+        return ((F.length(padded)
+                 - F.length(F.regexp_replace(padded, f" {word} ", " ")))
+                / (len(word) + 1)).cast("long")
+    scored = (d.withColumn("hits_en", hits("the") + hits("and"))
+              .withColumn("hits_q", hits("query") + hits("data"))
+              .withColumn("lang_guess",
+                          F.when(F.col("hits_en") >= F.col("hits_q"), "en")
+                          .otherwise("q")))
+    return (scored.groupBy("lang", "lang_guess")
+            .agg(F.count("*").alias("n")))
+
+
+SQL_DOCS_LANGID = """
+WITH scored AS (
+  SELECT lang,
+    CAST((length(' '||text||' ')
+          - length(regexp_replace(' '||text||' ', ' the ', ' ', 'g'))) / 4
+       + (length(' '||text||' ')
+          - length(regexp_replace(' '||text||' ', ' and ', ' ', 'g'))) / 4
+      AS BIGINT) AS hits_en,
+    CAST((length(' '||text||' ')
+          - length(regexp_replace(' '||text||' ', ' query ', ' ', 'g'))) / 6
+       + (length(' '||text||' ')
+          - length(regexp_replace(' '||text||' ', ' data ', ' ', 'g'))) / 5
+      AS BIGINT) AS hits_q
+  FROM documents)
+SELECT lang, CASE WHEN hits_en >= hits_q THEN 'en' ELSE 'q' END AS lang_guess,
+       COUNT(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def q_docs_ngram_pairs(spark, sf):
+    """Near-dup candidates by word-3-gram Jaccard: shingle → inverted-index
+    self-join → per-pair intersection counts (the scalable shuffle-join
+    shape of MinHash candidate generation, but exact)."""
+    d = _t(spark, sf, "documents")
+    sh = (d.withColumn("w", F.split(F.trim("text"), "\\s+"))
+          .filter(F.size("w") >= 3)
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(0, size(w)-3),"
+                      " i -> concat_ws(' ', slice(w, i+1, 3)))"))
+                  .alias("shingle"))
+          .distinct())
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (sh.alias("a").join(sh.alias("b"), "shingle")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    return (pairs
+            .join(n_sh.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "n_a"), "doc_a")
+            .join(n_sh.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                                6))
+            .filter(F.col("jaccard") >= 0.05)
+            .select("doc_a", "doc_b", "inter", "jaccard"))
+
+
+SQL_DOCS_NGRAM_PAIRS = """
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i+2), ' ') AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+        FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+       unnest(generate_series(1, len(w)-2)) AS g(i)),
+ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+FROM pairs JOIN ns na ON na.doc_id = doc_a JOIN ns nb ON nb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.05
+"""
+
+
+def q_emb_cosine_topk(spark, sf):
+    """Similarity search baseline: brute-force cosine top-10 vs the vec_id=0
+    query vector — dot product via zip_with/aggregate (native, JVM-side)."""
+    e = _t(spark, sf, "embeddings") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"))
+    dot = F.expr("aggregate(zip_with(embedding, q_emb, (x, y) -> x * y),"
+                 " 0D, (acc, v) -> acc + v)")
+    norm = ("sqrt(aggregate(transform({c}, x -> x * x), 0D,"
+            " (acc, v) -> acc + v))")
+    return (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .withColumn("cosine",
+                        F.round(dot / (F.expr(norm.format(c="embedding"))
+                                       * F.expr(norm.format(c="q_emb"))), 6))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id", "label", "cosine"))
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb)
+                  AS DOUBLE), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check; own pytest oracles)
+# ---------------------------------------------------------------------
+
+def q_docs_minhash_lsh(spark, sf):
+    """MinHash-LSH near-dup candidates: 16 permutations via seeded xxhash64,
+    4 bands × 4 rows; pairs sharing a band bucket. Rows-only check (DuckDB
+    has no xxhash64); self-consistency is pytest-verified: candidates ⊇
+    exact duplicates (tests/test_queries.py)."""
+    d = _t(spark, sf, "documents")
+    sh = (d.withColumn("w", F.split(F.trim("text"), "\\s+"))
+          .filter(F.size("w") >= 3)
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(0, size(w)-3),"
+                      " i -> concat_ws(' ', slice(w, i+1, 3)))"))
+                  .alias("shingle"))
+          .distinct())
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+          for i in range(16)])
+    bands = [F.xxhash64(F.lit(100 + b),
+                        *[F.col(f"h{b * 4 + j}") for j in range(4)])
+             .alias(f"band{b}") for b in range(4)]
+    bd = sig.select("doc_id", *bands)
+    stacked = bd.select(
+        "doc_id",
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"),
+                                     F.col(f"band{b}").alias("bucket"))
+                            for b in range(4)])).alias("bb")) \
+        .select("doc_id", "bb.band", "bb.bucket")
+    return (stacked.alias("a").join(stacked.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def q_docs_simhash(spark, sf):
+    """SimHash document fingerprints: per-token xxhash64, sign-sum over 64
+    bit positions, assembled to one BIGINT per doc. Rows-only check."""
+    d = _t(spark, sf, "documents")
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
+            .withColumn("h", F.xxhash64("tok")))
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"))
+    contrib = bits.withColumn(
+        "c", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+    sums = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return (sums.withColumn("bitval",
+                            F.when(F.col("s") > 0,
+                                   F.expr("CAST(1 AS BIGINT) << bit"))
+                            .otherwise(F.lit(0).cast("long")))
+            .groupBy("doc_id")
+            .agg(F.sum("bitval").alias("simhash")))
+
+
+def q_emb_ann_lsh(spark, sf):
+    """ANN scale path: random-hyperplane LSH — 16 sign bits from
+    deterministic ±1 hyperplanes (seeded by xxhash64 of (plane, dim)),
+    bucket = packed bits; returns bucket histograms. Rows-only check."""
+    e = _t(spark, sf, "embeddings")
+    planes = []
+    for p in range(16):
+        # deterministic ±1 plane: sign of xxhash64(p, dim_index)
+        expr = (f"aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> "
+                f"CASE WHEN xxhash64({p}L, i) % 2 = 0 THEN x ELSE -x END), "
+                f"0D, (acc, v) -> acc + v)")
+        planes.append(F.when(F.expr(expr) > 0, 1).otherwise(0)
+                      .cast("long").alias(f"b{p}"))
+    bucketed = e.select("vec_id", "label", *planes)
+    bucket = sum(F.col(f"b{p}") * (1 << p) for p in range(16))
+    return (bucketed.withColumn("bucket", bucket.cast("long"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.countDistinct("label").alias("n_labels")))
+
+
+QUERIES = {
+    "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
+    "frontier_dequeue": (q_frontier_dequeue, SQL_FRONTIER_DEQUEUE),
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "intra_batch_dedup": (q_intra_batch_dedup, SQL_INTRA_BATCH_DEDUP),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "rollup_customers": (q_rollup_customers, SQL_ROLLUP_CUSTOMERS),
+    "event_histogram": (q_event_histogram, SQL_EVENT_HISTOGRAM),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
+    "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
+    "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
+    "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
+    "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
+    "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
+    "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+    # rows-only (non-SQL-expressible: xxhash64-based sketches)
+    "docs_minhash_lsh": (q_docs_minhash_lsh, None),
+    "docs_simhash": (q_docs_simhash, None),
+    "emb_ann_lsh": (q_emb_ann_lsh, None),
+}

@@ -1,0 +1,89 @@
+"""THE correctness gate (SURVEY §5.2.2): the Spark engine's crawl order,
+seen set, documents, and metrics must EXACTLY equal the deterministic
+pure-Python oracle on the same fixture graph and config
+(BASELINE.json:"metric" — exact crawl-order + seen-set match)."""
+
+import pandas as pd
+
+ORDER_COLS = ["rank", "fingerprint", "url_canon", "round", "host",
+              "status", "depth"]
+
+
+def test_crawl_order_exact(engine_run, oracle_result):
+    eng, manifest = engine_run
+    got = (eng.crawl_order_df(manifest).orderBy("rank").toPandas()[ORDER_COLS]
+           .reset_index(drop=True))
+    want = pd.DataFrame(oracle_result.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_crawl_covers_failure_modes(oracle_result):
+    """The fixture graph must actually exercise retries/redirects/errors —
+    guards against a fixture regression silently weakening the gate."""
+    st = {r["status"] for r in oracle_result.crawl_order}
+    assert 200 in st and 301 in st and 404 in st
+    assert st & {429, 500, 503}, st
+    m = pd.DataFrame(oracle_result.metrics)
+    for k in ("retried", "deduped", "filtered", "robots_blocked", "redirects"):
+        assert m[k].sum() > 0, k
+
+
+def test_seen_set_exact(engine_run, oracle_result):
+    eng, manifest = engine_run
+    got = set(eng.seen_df(manifest).toPandas().fingerprint)
+    assert got == oracle_result.seen
+
+
+def test_documents_span_sequences_exact(engine_run, oracle_result):
+    """Per-row invariant (input_hint): span-sequence equality on
+    (kind, text, media_ref, order) per doc_id."""
+    eng, manifest = engine_run
+    pdf = eng.documents_df(manifest).toPandas()
+    got = {r.doc_id: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r.spans]
+           for r in pdf.itertuples()}
+    want = {k: [(d["kind"], d["text"], d["media_ref"], d["offset"])
+                for d in v]
+            for k, v in oracle_result.documents.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+
+
+def test_documents_schema(engine_run):
+    eng, manifest = engine_run
+    df = eng.documents_df(manifest)
+    assert df.schema.simpleString() == (
+        "struct<doc_id:string,spans:array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>>")
+
+
+def test_metrics_exact(engine_run, oracle_result):
+    eng, manifest = engine_run
+    got = eng.metrics_df(manifest).toPandas() \
+        .sort_values(["round", "host"]).reset_index(drop=True)
+    want = pd.DataFrame(oracle_result.metrics)[got.columns.tolist()] \
+        .sort_values(["round", "host"]).reset_index(drop=True) \
+        .astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_seen_equals_enqueued_fingerprints(engine_run, oracle_result):
+    """Property (SURVEY §5.2.5): seen = seeds ∪ every enqueued candidate;
+    every fetched fingerprint is in seen; robots-blocked are in seen but
+    may never be fetched."""
+    eng, manifest = engine_run
+    seen = set(eng.seen_df(manifest).toPandas().fingerprint)
+    fetched = {r["fingerprint"] for r in oracle_result.crawl_order}
+    assert fetched <= seen
+
+
+def test_lineage_recorded(engine_run):
+    eng, manifest = engine_run
+    from crawlspark.engine import LINEAGE_SCHEMA
+    lin = eng.store.read(eng.spark, manifest, "lineage", LINEAGE_SCHEMA) \
+        .toPandas()
+    assert set(lin.stage) == {"eligible", "fetched", "candidates", "enqueued"}
+    assert (lin.rows >= 0).all() and len(lin) > 0

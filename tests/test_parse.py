@@ -1,0 +1,53 @@
+"""X8/X9 extractor tests: the interleaved span invariant
+(BASELINE.json:"input_hint" — span-sequence equality on
+(kind, text, media_ref, order) per doc) and link discovery order."""
+
+from crawlspark.kernels.parse import Span, media_ref_for, parse_html, render_html
+
+
+def test_roundtrip_all_fixture_pages(fixture_pdfs):
+    """parse_html(body_html) must reproduce the golden body_spans and
+    outlinks_raw for EVERY fixture page — kind/text/media_ref/offset exact."""
+    pages = fixture_pdfs["pages"]
+    for _, row in pages.iterrows():
+        spans, hrefs = parse_html(row.url_canon, row.body_html)
+        got = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
+        want = [(d["kind"], d["text"], d["media_ref"], d["offset"])
+                for d in row.body_spans]
+        assert got == want, row.url_canon
+        assert hrefs == list(row.outlinks_raw), row.url_canon
+
+
+def test_offsets_dense(fixture_pdfs):
+    for _, row in fixture_pdfs["pages"].iterrows():
+        offs = [d["offset"] for d in row.body_spans]
+        assert offs == list(range(len(offs)))
+
+
+def test_span_null_discipline(fixture_pdfs):
+    """text spans: media_ref is null; media spans: text is null (§7.3.6)."""
+    for _, row in fixture_pdfs["pages"].iterrows():
+        for d in row.body_spans:
+            if d["kind"] == "text":
+                assert d["media_ref"] is None and d["text"] is not None
+            else:
+                assert d["text"] is None and d["media_ref"].startswith("full/")
+
+
+def test_escaping_roundtrip():
+    mr = media_ref_for("https://h.test/p", "/i.jpg?a=1&b=2")
+    spans = [Span("text", 'a<b>&"quo" café ★', None, 0),
+             Span("media", None, mr, 1)]
+    html = render_html("t&t", spans, ['/x?a=1&b=2#f', 'mailto:a@b'],
+                       ["/i.jpg?a=1&b=2"])
+    sp, hr = parse_html("https://h.test/p", html)
+    assert [tuple(s) for s in sp] == [tuple(s) for s in spans]
+    assert hr == ['/x?a=1&b=2#f', 'mailto:a@b']
+
+
+def test_media_ref_is_sha1_of_canonical_absolute_url():
+    import hashlib
+    from crawlspark.kernels.canon import canonicalize_url
+    ref = media_ref_for("https://h.test/dir/page", "img/1.JPG?b=2&a=1")
+    canon = canonicalize_url("https://h.test/dir/img/1.JPG?b=2&a=1")
+    assert ref == "full/" + hashlib.sha1(canon.encode()).hexdigest()
