@@ -563,9 +563,66 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_media_manifest(spark, sf):
+    """O2 media sink analogue [S:scrapy/pipelines/files.py::FilesPipeline.
+    file_path]: deterministic media_ref = full/<sha256(media_url)> computed
+    column per document — no blobs, pure JVM-side hashing."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("https://cdn.test/"), F.col("source"), F.lit("/"),
+                   F.col("doc_id").cast("string"), F.lit(".jpg"))
+    return (d.withColumn("media_url", url)
+            .withColumn("media_ref",
+                        F.concat(F.lit("full/"), F.sha2(F.col("media_url"), 256)))
+            .select("doc_id", "media_url", "media_ref"))
+
+
+SQL_MEDIA_MANIFEST = """
+SELECT doc_id,
+       'https://cdn.test/' || source || '/' || doc_id || '.jpg' AS media_url,
+       'full/' || sha256('https://cdn.test/' || source || '/' || doc_id
+                         || '.jpg') AS media_ref
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------
 # non-SQL-expressible ops (rows-only driver check; own pytest oracles)
 # ---------------------------------------------------------------------
+
+def q_media_meta(spark, sf):
+    """Multimodal plumbing end-to-end: media_ref -> opaque binary payload ->
+    Arrow-batched fake decode (crawlspark.multimodal) -> typed metadata agg.
+    Rows-only check (binary payloads are not DuckDB-expressible); pytest
+    verifies decode determinism and schema (tests/test_multimodal.py)."""
+    from . import multimodal as mm
+    d = _t(spark, sf, "documents")
+    refs = d.select(F.concat(
+        F.lit("full/"),
+        F.sha2(F.concat(F.col("source"), F.lit("/"),
+                        F.col("doc_id").cast("string")), 256)).alias("media_ref"))
+    meta = mm.decode_media(mm.attach_payloads(refs), codec="fake")
+    return (meta.groupBy("media_kind", "format")
+            .agg(F.count("*").alias("n_media"),
+                 F.sum("byte_len").alias("total_bytes"),
+                 F.round(F.avg("width"), 2).alias("avg_width"),
+                 F.round(F.avg("height"), 2).alias("avg_height"),
+                 F.sum("duration_ms").alias("total_duration_ms")))
+
+
+def q_media_frames(spark, sf):
+    """Video frame-sampling plumbing: sampled-frame histogram per video.
+    Rows-only check; determinism pytest-verified."""
+    from . import multimodal as mm
+    d = _t(spark, sf, "documents")
+    refs = d.select(F.concat(
+        F.lit("full/"),
+        F.sha2(F.concat(F.col("source"), F.lit("/"),
+                        F.col("doc_id").cast("string")), 256)).alias("media_ref"))
+    frames = mm.sample_frames(mm.attach_payloads(refs))
+    return (frames.groupBy("media_ref")
+            .agg(F.count("*").alias("n_frames"),
+                 F.max("frame_ms").alias("last_frame_ms")))
+
 
 def q_docs_minhash_lsh(spark, sf):
     """MinHash-LSH near-dup candidates: 16 permutations via seeded xxhash64,
@@ -668,8 +725,11 @@ QUERIES = {
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
-    # rows-only (non-SQL-expressible: xxhash64-based sketches)
+    "media_manifest": (q_media_manifest, SQL_MEDIA_MANIFEST),
+    # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media)
     "docs_minhash_lsh": (q_docs_minhash_lsh, None),
     "docs_simhash": (q_docs_simhash, None),
     "emb_ann_lsh": (q_emb_ann_lsh, None),
+    "media_meta": (q_media_meta, None),
+    "media_frames": (q_media_frames, None),
 }
