@@ -563,6 +563,40 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_emb_near_dup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact baseline): all pairs
+    with cosine >= 0.45, dot/norms via native zip_with/aggregate. The LSH
+    scale path (emb_ann_lsh) prunes candidates at 100 TB; this exact
+    variant is the correctness oracle for it."""
+    e = _t(spark, sf, "embeddings") \
+        .withColumn("emb", F.col("embedding").cast("array<double>")) \
+        .withColumn("norm", F.expr(
+            "sqrt(aggregate(transform(emb, x -> x * x), 0D,"
+            " (acc, v) -> acc + v))")) \
+        .select("vec_id", "emb", "norm")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.expr("aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D,"
+                 " (acc, v) -> acc + v)")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+            .filter(F.col("cosine") >= 0.45)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  AS DOUBLE), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+           AS DOUBLE) >= 0.45
+"""
+
+
 def q_media_manifest(spark, sf):
     """O2 media sink analogue [S:scrapy/pipelines/files.py::FilesPipeline.
     file_path]: deterministic media_ref = full/<sha256(media_url)> computed
@@ -725,6 +759,7 @@ QUERIES = {
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
+    "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "media_manifest": (q_media_manifest, SQL_MEDIA_MANIFEST),
     # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media)
     "docs_minhash_lsh": (q_docs_minhash_lsh, None),
