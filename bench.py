@@ -55,6 +55,15 @@ def bench_crawl(spark, sf: float, rounds: int) -> dict:
                           f"crawlspark_bench_fx_{n_pages}")
     if not os.path.isdir(fx_dir):
         write_fixture(fx_dir, n_pages=n_pages, seed=42, config=cfg)
+    # tiny rounds: AQE's per-stage replanning costs more than it saves
+    # (skew is handled by explicit J6 salting); cluster deploys keep AQE on
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # JIT/codegen warmup: 2 untimed rounds on a throwaway run dir
+    warm_dir = tempfile.mkdtemp(prefix="crawlspark_bench_warm_")
+    try:
+        CrawlEngine(spark, fx_dir, warm_dir, cfg).run(max_rounds=2)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix="crawlspark_bench_run_")
     try:
         eng = CrawlEngine(spark, fx_dir, run_dir, cfg)

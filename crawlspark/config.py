@@ -45,6 +45,13 @@ class CrawlConfig:
     bloom_hashes: int = 4                   # D3 k hash functions
     use_bloom: bool = True                  # D3 prefilter on/off (exactness is
                                             # guaranteed by J3 either way)
+    driver_shard_cache: bool = True         # keep shard bytes in driver RAM
+                                            # between rounds (saves 1 collect
+                                            # + 1 shuffle per round; turn OFF
+                                            # at the 10^10 design point where
+                                            # shards exceed driver RAM — the
+                                            # distributed cogroup path is the
+                                            # scale path)
 
     def budget_for(self, crawl_delay_s: float | None,
                    max_concurrency: int | None, carry_s: float) -> tuple[int, float]:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -136,10 +137,25 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.store = SnapshotStore(run_dir)
+        self.fixture_dir = fixture_dir
         fx = fixture_dir
         self.pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
             .select("url_canon", "status", "redirect_to", "succeeds_after",
                     "latency_ms", "body_html")
+        # X7 fetch-join strategy: the fixture "network" table is broadcast
+        # when it fits (kills a per-round shuffle of the dequeued batch); on
+        # a real crawl X7 is an HTTP mapInPandas and this join disappears.
+        try:
+            pages_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(os.path.join(fx, "pages.parquet"))
+                for f in fs) if os.path.isdir(
+                    os.path.join(fx, "pages.parquet")) else \
+                os.path.getsize(os.path.join(fx, "pages.parquet"))
+        except OSError:
+            pages_bytes = 1 << 40
+        self._pages_join = F.broadcast(self.pages) \
+            if pages_bytes < 64 * 1024 * 1024 else self.pages
         self.robots = spark.read.parquet(os.path.join(fx, "robots.parquet")) \
             .withColumnRenamed("crawl_delay_s", "robots_delay_s")
         self.policy = spark.read.parquet(os.path.join(fx, "host_policy.parquet")) \
@@ -148,6 +164,11 @@ class CrawlEngine:
         self.canon_udf, self.abs_udf, self.host_udf = make_udfs()
         self.robots_udf = make_robots_udf()
         self._offsite_re = _offsite_regex(cfg.allowed_domains)
+        # driver-side cache of the bloom-shard bytes for the committed round
+        # (saves one collect per round; O(shards * bits/8) driver RAM — at
+        # the 10^10 design point keep use_driver_shard_cache off and let the
+        # distributed path own the shards)
+        self._shard_cache: tuple[int, dict[int, bytes]] | None = None
 
     # ------------------------------------------------------------------ #
     # bootstrap: seeds -> frontier/seen/shards (R1)
@@ -166,20 +187,26 @@ class CrawlEngine:
         w = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
         frontier = (s.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
-                    .select([f.name for f in FRONTIER_SCHEMA]))
+                    .select([f.name for f in FRONTIER_SCHEMA]).cache())
         seen = frontier.select("fingerprint")
-        n_seeds = self.seeds.count()
-        n_distinct = frontier.count()
-
+        empty_hs = self.spark.createDataFrame([], HOST_STATE_SCHEMA)
+        shards = self._update_shards(None, seen)
+        writes = [("frontier", frontier), ("seen", seen),
+                  ("host_state", empty_hs), ("seen_shards", shards)]
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futs = {n: pool.submit(self.store.write_round, df, n, 0)
+                    for n, df in writes}
+            paths = {n: f.result() for n, f in futs.items()}
+        tables = {n: [paths[n]] for n, _ in writes}
+        # scalar state from local parquet — no extra count() jobs
+        n_seeds = len(pd.read_parquet(
+            os.path.join(self.fixture_dir, "seeds.parquet"),
+            columns=["seed_id"]))
+        n_distinct = len(pd.read_parquet(paths["seen"],
+                                         columns=["fingerprint"]))
         state = {"next_seq": n_seeds, "next_rank": 1, "total_fetched": 0,
                  "config": cfg.to_dict(), "pending": n_distinct}
-        tables = {}
-        tables["frontier"] = [self.store.write_round(frontier, "frontier", 0)]
-        tables["seen"] = [self.store.write_round(seen, "seen", 0)]
-        empty_hs = self.spark.createDataFrame([], HOST_STATE_SCHEMA)
-        tables["host_state"] = [self.store.write_round(empty_hs, "host_state", 0)]
-        shards = self._update_shards(None, seen)
-        tables["seen_shards"] = [self.store.write_round(shards, "seen_shards", 0)]
+        frontier.unpersist()
         for t in ("documents", "crawl_order", "metrics", "lineage"):
             tables[t] = []
         self.store.commit(-1, state, tables)
@@ -216,17 +243,29 @@ class CrawlEngine:
                 .cogroup(addr.groupby("bloom_shard"))
                 .applyInPandas(merge, schema=SHARDS_SCHEMA))
 
+    def _shard_bits(self, manifest: dict) -> dict[int, bytes]:
+        """Shard bytes for the committed round — from the driver cache when
+        enabled and current, else one collect of the seen_shards table."""
+        rnd = manifest["round"]
+        if self.cfg.driver_shard_cache and self._shard_cache \
+                and self._shard_cache[0] == rnd:
+            return self._shard_cache[1]
+        shards_rows = self.store.read(
+            self.spark, manifest, "seen_shards",
+            StructType.fromDDL(SHARDS_SCHEMA)).collect()
+        bits = {r["shard"]: bytes(r["bits"]) for r in shards_rows}
+        if self.cfg.driver_shard_cache:
+            self._shard_cache = (rnd, bits)
+        return bits
+
     def _dedup_new(self, cand: DataFrame, seen: DataFrame,
                    manifest: dict) -> DataFrame:
         """D3 bloom prefilter + J3 exact anti-join (bloom-positives only)."""
         cfg = self.cfg
         if not cfg.use_bloom:
             return cand.join(seen, "fingerprint", "left_anti")
-        shards_rows = self.store.read(
-            self.spark, manifest, "seen_shards",
-            StructType.fromDDL(SHARDS_SCHEMA)).collect()
-        shard_bits = {r["shard"]: bytes(r["bits"]) for r in shards_rows}
-        check = bloom.make_check_udf(self.spark, shard_bits, cfg)
+        check = bloom.make_check_udf(self.spark, self._shard_bits(manifest),
+                                     cfg)
         shard_col, bit_cols = bloom.native_addr_cols(F.col("fingerprint"), cfg)
         c = cand.withColumn("_maybe", check(shard_col, *bit_cols))
         fresh = c.filter(~F.col("_maybe")).drop("_maybe")
@@ -270,7 +309,7 @@ class CrawlEngine:
             .join(F.broadcast(self.policy), "host", "left")
             .join(F.broadcast(self.robots.select("host", "robots_delay_s")),
                   "host", "left")
-            .join(host_state, "host", "left")
+            .join(F.broadcast(host_state), "host", "left")
             .withColumn("_d", F.greatest(F.coalesce("policy_delay_s", F.lit(0.0)),
                                          F.coalesce("robots_delay_s", F.lit(0.0))))
             .withColumn("delay_eff", F.when(F.col("_d") > 0, F.col("_d"))
@@ -304,18 +343,17 @@ class CrawlEngine:
                   .filter(F.col("host_rank") <= F.col("budget")))
 
         # ---- F5 global cap + deterministic total order (R4/R5) ------------
-        sel = (ranked
-               .orderBy(F.col("priority").desc(), F.col("host_rank").asc(),
-                        F.col("enqueue_seq").asc())
-               .limit(cfg.round_cap))
+        # one global window over the budget-capped survivors (bounded by
+        # #hosts * budget, NOT frontier size) replaces sort+limit+window
         w_rank = Window.orderBy(F.col("priority").desc(),
                                 F.col("host_rank").asc(),
                                 F.col("enqueue_seq").asc())
-        sel = sel.withColumn("fetch_rank", F.row_number().over(w_rank)) \
-            .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank")
+        sel = (ranked.withColumn("fetch_rank", F.row_number().over(w_rank))
+               .filter(F.col("fetch_rank") <= cfg.round_cap)
+               .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank"))
 
         # ---- X7 fetch = join vs the pages fixture (the "network") ---------
-        batch = (sel.join(self.pages, "url_canon", "left")
+        batch = (sel.join(self._pages_join, "url_canon", "left")
                  .withColumn(
                      "status",
                      F.when(F.col("succeeds_after").isNotNull()
@@ -472,71 +510,122 @@ class CrawlEngine:
             _i(F.col("_pass")).alias("_passed"))
         m_new = new_rows.groupBy(F.col("parent_host").alias("host")).agg(
             F.count("*").alias("enqueued"))
-        metrics = (m_fetch
-                   .join(m_items, "host", "full")
-                   .join(m_cand, "host", "full")
-                   .join(m_new, "host", "full")
-                   .join(blocked_m, "host", "full")
+        # single-shuffle combine: union the per-source partial aggs (sparse
+        # columns) and sum per host — replaces a chain of 4 full-outer joins
+        parts = m_fetch.unionByName(m_items, allowMissingColumns=True) \
+            .unionByName(m_cand, allowMissingColumns=True) \
+            .unionByName(m_new, allowMissingColumns=True) \
+            .unionByName(blocked_m, allowMissingColumns=True)
+        summed = parts.groupBy("host").agg(
+            *[F.sum(F.coalesce(F.col(k), F.lit(0))).alias(k)
+              for k in (*METRIC_KEYS, "_passed") if k != "deduped"])
+        metrics = (summed
                    .withColumn("deduped",
-                               F.coalesce("_passed", F.lit(0))
-                               - F.coalesce("enqueued", F.lit(0)))
+                               F.col("_passed") - F.col("enqueued"))
                    .select(F.lit(rnd).cast("int").alias("round"), "host",
                            *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k)
                              for k in METRIC_KEYS]))
 
         # ---- per-partition lineage (north_rule) -----------------------------
-        def lin(df, stage):
-            return (df.groupBy(F.spark_partition_id().alias("partition_id"))
-                    .agg(F.count("*").alias("rows"))
-                    .select(F.lit(rnd).cast("int").alias("round"),
-                            F.lit(stage).alias("stage"),
-                            F.col("partition_id").cast("int"),
-                            F.col("rows").cast("long")))
-        lineage = (lin(elig, "eligible").unionByName(lin(batch, "fetched"))
-                   .unionByName(lin(c, "candidates"))
-                   .unionByName(lin(new_rows, "enqueued")))
+        # single-shuffle: tag each source with (stage, partition_id), union,
+        # one groupBy — instead of 4 separate groupBy shuffles
+        def lin_rows(df, stage):
+            return df.select(F.lit(stage).alias("stage"),
+                             F.spark_partition_id().alias("partition_id"))
+        lineage = (lin_rows(elig, "eligible")
+                   .unionByName(lin_rows(batch, "fetched"))
+                   .unionByName(lin_rows(c, "candidates"))
+                   .unionByName(lin_rows(new_rows, "enqueued"))
+                   .groupBy("stage", "partition_id")
+                   .agg(F.count("*").alias("rows"))
+                   .select(F.lit(rnd).cast("int").alias("round"), "stage",
+                           F.col("partition_id").cast("int"),
+                           F.col("rows").cast("long")))
 
-        # ---- scalar state advance: ONE collect of the tiny metrics table ----
-        # (pending arithmetic is exact: next = prev - fetched - robots_blocked
-        #  + retried + enqueued; avoids three extra count() jobs per round)
-        m_pd = metrics.toPandas()
+        # ---- C1 snapshot commit ---------------------------------------------
+        # One cheap action materializes the deep shared cache chain
+        # (elig -> batch -> extracted -> items -> c -> new_rows) exactly once;
+        # every sink below is then a shallow projection over cached data.
+        import time as _time
+        _t = {"t0": _time.time()}
+        new_rows.count()
+        _t["materialize"] = _time.time() - _t["t0"]
+
+        # All table writes go to distinct round-versioned directories and are
+        # only made visible by the single manifest rename below, so they can
+        # run CONCURRENTLY (driver-thread job parallelism): round wall time
+        # pays max(write) instead of sum(write). Scalar state (pending
+        # arithmetic: next = prev - fetched - robots_blocked + retried +
+        # enqueued) is derived from the written metrics parquet — no separate
+        # collect job.
+        tables = {k: list(v) for k, v in manifest["tables"].items()}
+        ver = rnd + 1
+        # per-round deltas are bounded by round_cap — single file each
+        writes: list[tuple[str, DataFrame, bool]] = [
+            ("frontier", frontier_next, True),
+            ("host_state", host_state_next.coalesce(1), True),
+            ("seen", seen_delta.coalesce(1), False),
+            ("documents", documents.coalesce(1), False),
+            ("crawl_order", crawl_order.coalesce(1), False),
+            ("metrics", metrics.coalesce(1), False),
+            ("lineage", lineage.coalesce(1), False),
+        ]
+        if not cfg.driver_shard_cache:
+            # distributed shard merge (the 10^10-scale path): cogroup over
+            # the committed shards table, written alongside the others
+            shards_df = self.store.read(spark, manifest, "seen_shards",
+                                        StructType.fromDDL(SHARDS_SCHEMA))
+            writes.append(
+                ("seen_shards", self._update_shards(shards_df, seen_delta),
+                 True))
+        _t1 = _time.time()
+        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+            futs = {name: pool.submit(self.store.write_round, df, name, ver)
+                    for name, df, _ in writes}
+            paths = {name: f.result() for name, f in futs.items()}
+        _t["writes"] = _time.time() - _t1
+        for name, _, full in writes:
+            tables[name] = [paths[name]] if full \
+                else tables.get(name, []) + [paths[name]]
+
+        m_pd = pd.read_parquet(paths["metrics"])
         sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \
             {k: 0 for k in METRIC_KEYS}
-        stream_total = sums["discovered"]
         fetched_total = sums["fetched"]
-        pending_after = (st["pending"] - fetched_total - sums["robots_blocked"]
-                         + sums["retried"] + sums["enqueued"])
-
         state = {
-            "next_seq": next_seq + stream_total,
+            "next_seq": next_seq + sums["discovered"],
             "next_rank": next_rank + fetched_total,
             "total_fetched": st["total_fetched"] + fetched_total,
             "config": st["config"],
-            "pending": pending_after,
+            "pending": (st["pending"] - fetched_total - sums["robots_blocked"]
+                        + sums["retried"] + sums["enqueued"]),
         }
 
-        # ---- C1 snapshot commit ---------------------------------------------
-        tables = {k: list(v) for k, v in manifest["tables"].items()}
-        ver = rnd + 1
-        tables["frontier"] = [self.store.write_round(frontier_next, "frontier", ver)]
-        tables["host_state"] = [self.store.write_round(
-            host_state_next.coalesce(1), "host_state", ver)]
-        shards_df = self.store.read(spark, manifest, "seen_shards",
-                                    StructType.fromDDL(SHARDS_SCHEMA))
-        shards_next = self._update_shards(shards_df, seen_delta)
-        tables["seen_shards"] = [self.store.write_round(shards_next,
-                                                        "seen_shards", ver)]
-        metrics_w = spark.createDataFrame(m_pd, METRICS_SCHEMA) if len(m_pd) \
-            else spark.createDataFrame([], METRICS_SCHEMA)
-        # per-round deltas are bounded by round_cap — single file each
-        for name, df in (("seen", seen_delta.coalesce(1)),
-                         ("documents", documents.coalesce(1)),
-                         ("crawl_order", crawl_order.coalesce(1)),
-                         ("metrics", metrics_w.coalesce(1)),
-                         ("lineage", lineage.coalesce(1))):
-            tables[name] = tables.get(name, []) + [
-                self.store.write_round(df, name, ver)]
+        if cfg.driver_shard_cache:
+            # fast path: merge the just-written seen delta into the cached
+            # shard bytes driver-side (pure python, no extra Spark job; the
+            # delta parquet is on local disk already)
+            bits = {s: bytearray(b)
+                    for s, b in self._shard_bits(manifest).items()}
+            delta_pd = pd.read_parquet(paths["seen"], columns=["fingerprint"])
+            for fp in delta_pd["fingerprint"]:
+                s, poss = bloom.bit_positions_py(fp, cfg)
+                buf = bits.setdefault(
+                    s, bytearray(cfg.bloom_bits_per_shard // 8))
+                for p in poss:
+                    buf[p >> 3] |= 1 << (p & 7)
+            new_bits = {s: bytes(b) for s, b in bits.items()}
+            shards_pdf = pd.DataFrame(
+                {"shard": sorted(new_bits),
+                 "bits": [new_bits[s] for s in sorted(new_bits)]})
+            tables["seen_shards"] = [self.store.write_round(
+                spark.createDataFrame(shards_pdf, SHARDS_SCHEMA),
+                "seen_shards", ver)]
+            # cache key = the round number this commit's manifest carries
+            self._shard_cache = (rnd, new_bits)
+        _t["shards_commit"] = _time.time() - _t1 - _t["writes"]
         self.store.commit(rnd, state, tables)
+        self.last_timings = _t
 
         for df in (elig, host_round, batch, extracted, items, c, new_rows,
                    frontier_next):
