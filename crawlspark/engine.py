@@ -116,17 +116,26 @@ def _offsite_regex(domains: tuple[str, ...]) -> str | None:
 
 
 def _extract_fn(passthrough: list[str]):
-    """mapInPandas X8/X9: parse body_html -> interleaved spans + raw hrefs."""
+    """mapInPandas X8/X9 + fused D1: parse body_html -> interleaved spans,
+    raw hrefs, AND canonical absolute link URLs. Canonicalization is fused
+    into the same Arrow batch loop so each round runs ONE python stage over
+    the links instead of two (halves the python-worker footprint and skips
+    a JVM->python round-trip of every discovered link)."""
+    from .kernels.canon import absolutize, canonicalize_url
+
     def fn(batches):
         for pdf in batches:
-            spans_col, links_col = [], []
+            spans_col, links_col, canon_col = [], [], []
             for url, body in zip(pdf["url_canon"], pdf["body_html"]):
                 spans, hrefs = parse_html(url, body if isinstance(body, str) else "")
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
+                canon_col.append(
+                    [canonicalize_url(absolutize(url, h)) for h in hrefs])
             out = pdf[passthrough].copy()
             out["spans"] = spans_col
             out["outlinks"] = links_col
+            out["outlinks_canon"] = canon_col
             yield out
     return fn
 
@@ -381,7 +390,8 @@ class CrawlEngine:
         extract_schema = StructType(
             [f for f in batch.schema if f.name in passthrough]
             + [StructField("spans", ArrayType(SPAN_STRUCT)),
-               StructField("outlinks", ArrayType(StringType()))])
+               StructField("outlinks", ArrayType(StringType())),
+               StructField("outlinks_canon", ArrayType(StringType()))])
         extracted = (batch.filter(F.col("_ok"))
                      .select(*passthrough, "body_html")
                      .mapInPandas(_extract_fn(passthrough), extract_schema)
@@ -400,7 +410,7 @@ class CrawlEngine:
                 *base_cols, F.array(F.col("redirect_to")).alias("stream"),
                 F.lit("redirect").alias("stream_kind")))
             .unionByName(extracted.select(
-                *base_cols, F.col("outlinks").alias("stream"),
+                *base_cols, F.col("outlinks_canon").alias("stream"),
                 F.lit("links").alias("stream_kind")))
         ).withColumn("n", F.size("stream"))
         # offset cumsum over fetch order — bounded by round_cap rows
@@ -432,8 +442,14 @@ class CrawlEngine:
                      (F.col("stream_kind") == "redirect").alias("is_redirect"),
                      F.col("enqueue_seq_new").alias("enqueue_seq"),
                      F.col("raw"))
+             # links arrive pre-canonicalized from the fused extractor
+             # (D1 inside X8/X9); only redirect targets still need the
+             # absolutize+canonicalize UDF — a tiny fraction of the batch
              .withColumn("url_canon",
-                         self.canon_udf(self.abs_udf("parent_url", "raw")))
+                         F.when(F.col("is_redirect"),
+                                self.canon_udf(
+                                    self.abs_udf("parent_url", "raw")))
+                         .otherwise(F.col("raw")))
              .withColumn("fingerprint",
                          F.sha1(F.concat(F.lit("GET"), F.col("url_canon"))))
              .withColumn("host", F.lower(F.coalesce(

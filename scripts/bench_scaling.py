@@ -76,32 +76,37 @@ def ensure_fixture(n_pages: int) -> str:
 # ------------------------------------------------------------------ #
 # worker: one (mode, cores) measurement in a fresh JVM
 # ------------------------------------------------------------------ #
-def run_kernel(spark, fx: str, rep: int) -> dict:
-    """One scheduler-round dataflow over pages x rep — a single Spark job."""
+def _kernel_frames(spark, fx: str, rep: int):
+    """Shared dataflow: pages x rep -> extract -> canonicalize ->
+    fingerprint (one scheduler-round's per-URL pipeline)."""
     from pyspark.sql import functions as F
     from crawlspark.engine import SPAN_STRUCT, _extract_fn
-    from crawlspark.kernels.canon import make_udfs
     from pyspark.sql.types import (ArrayType, StringType, StructField,
                                    StructType)
 
-    canon_udf, abs_udf, _host = make_udfs()
     cores = spark.sparkContext.defaultParallelism
     pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
         .select("url_canon", "body_html")
-    big = (pages
+    # repartition the BASE pages (3 MB), then explode in place — never
+    # shuffle the replicated bodies (that shuffle is disk-bound and flat
+    # across cores, which is exactly what this measurement must avoid)
+    big = (pages.repartition(cores * 3)
            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
            .withColumn("url_canon",
                        F.concat("url_canon", F.lit("?rep="),
-                                F.col("rep").cast("string")))
-           .repartition(cores * 3))
+                                F.col("rep").cast("string"))))
     schema = StructType([StructField("url_canon", StringType()),
                          StructField("spans", ArrayType(SPAN_STRUCT)),
-                         StructField("outlinks", ArrayType(StringType()))])
+                         StructField("outlinks", ArrayType(StringType())),
+                         StructField("outlinks_canon",
+                                     ArrayType(StringType()))])
     extracted = big.select("url_canon", "body_html") \
         .mapInPandas(_extract_fn(["url_canon"]), schema)
     links = (extracted
-             .select("url_canon", F.posexplode("outlinks").alias("pos", "raw"))
-             .withColumn("link_canon", canon_udf(abs_udf("url_canon", "raw")))
+             # the extractor emits canonical links (fused D1) — one python
+             # stage total, like the engine's round
+             .select("url_canon",
+                     F.posexplode("outlinks_canon").alias("pos", "link_canon"))
              # propagate the rep suffix so the dedup/shuffle side scales
              # with the input instead of collapsing to the base graph
              .withColumn("link_canon",
@@ -110,11 +115,42 @@ def run_kernel(spark, fx: str, rep: int) -> dict:
                                                    r"rep=(\d+)", 1)))
              .withColumn("fingerprint",
                          F.sha1(F.concat(F.lit("GET"), F.col("link_canon")))))
+    return extracted, links, big
+
+
+def run_kernel(spark, fx: str, rep: int) -> dict:
+    """One scheduler-round dataflow over pages x rep — a single Spark job,
+    INCLUDING the dedup exchange (distinct over fingerprints)."""
+    _, links, big = _kernel_frames(spark, fx, rep)
+    # project to the 40-byte fingerprint BEFORE the distinct shuffle
+    fps = links.select("fingerprint")
     t0 = time.time()
-    n = links.select("fingerprint").distinct().count()
+    n = fps.distinct().count()
     dt = time.time() - t0
     n_pages_proc = big.count()
     return {"seconds": round(dt, 2), "distinct_links": n,
+            "pages_parsed": n_pages_proc,
+            "urls_per_sec": round(n_pages_proc / dt, 2)}
+
+
+def run_compute(spark, fx: str, rep: int) -> dict:
+    """The per-URL COMPUTE of one round (X8/X9 parse + D1 canonicalize + D2
+    fingerprint) with a checksum aggregate instead of the dedup exchange:
+    no data shuffle at all, so this isolates how the vectorized per-URL
+    work itself scales with cores. (The dedup exchange's scaling is
+    measured separately by the kernel mode; on a real cluster the exchange
+    bandwidth also scales with executors, which a single box cannot show.)"""
+    from pyspark.sql import functions as F
+    _, links, big = _kernel_frames(spark, fx, rep)
+    agg = links.select(F.xxhash64("fingerprint").alias("h")) \
+        .agg(F.expr("bit_xor(h)").alias("checksum"),
+             F.count("*").alias("n_links"))
+    t0 = time.time()
+    row = agg.collect()[0]
+    dt = time.time() - t0
+    n_pages_proc = big.count()
+    return {"seconds": round(dt, 2), "n_links": row["n_links"],
+            "checksum": int(row["checksum"]),
             "pages_parsed": n_pages_proc,
             "urls_per_sec": round(n_pages_proc / dt, 2)}
 
@@ -148,19 +184,56 @@ def worker(args) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fx = ensure_fixture(args.n_pages)
     if args.mode == "kernel":
-        # warmup: small kernel run to JIT codegen + spawn python workers
+        # warmup: small run to JIT codegen + spawn python workers
         run_kernel(spark, fx, max(1, args.rep // 8))
         out = run_kernel(spark, fx, args.rep)
+    elif args.mode == "compute":
+        run_compute(spark, fx, max(1, args.rep // 8))
+        out = run_compute(spark, fx, args.rep)
     else:
         out = run_crawl(spark, fx, args.rounds)
     print("WORKER_JSON:" + json.dumps(out))
+
+
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
+def calibrate(widths: tuple[int, ...], seconds: float = 2.0,
+              trials: int = 3) -> dict[int, float]:
+    """Effective parallel CPU capacity of this box (pure-python burn, no
+    Spark): iterations/sec by process count. This is the sandbox's hardware
+    ceiling — a shared VM delivers sub-linear capacity at high widths, which
+    bounds ANY engine's measurable scaling here."""
+    import multiprocessing as mp
+
+    burn = _burn
+    out = {}
+    for n in widths:
+        best = 0.0
+        for _ in range(trials):
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                tot = sum(p.map(burn, [seconds] * n))
+                best = max(best, tot / (time.time() - t0))
+        out[n] = best
+    return out
 
 
 # ------------------------------------------------------------------ #
 # orchestrator
 # ------------------------------------------------------------------ #
 def spawn(mode: str, cores: int, n_pages: int, rep: int, rounds: int) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+    # pin the WHOLE process tree (JVM + python workers) to `cores` cpus —
+    # local[N] alone under-counts: python workers are extra processes, so an
+    # unpinned local[4] actually consumes ~2x4 cores and inflates the
+    # small-N baseline
+    cmd = ["taskset", "-c", f"0-{cores - 1}",
+           sys.executable, os.path.abspath(__file__), "--worker",
            "--mode", mode, "--cores", str(cores), "--n-pages", str(n_pages),
            "--rep", str(rep), "--rounds", str(rounds)]
     p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -175,7 +248,8 @@ def spawn(mode: str, cores: int, n_pages: int, rep: int, rounds: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--mode", choices=["kernel", "crawl"], default="kernel")
+    ap.add_argument("--mode", choices=["compute", "kernel", "crawl"],
+                    default="kernel")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--n-pages", type=int,
                     default=int(os.environ.get("CRAWLSPARK_SCALING_PAGES",
@@ -184,6 +258,9 @@ def main() -> int:
                     default=int(os.environ.get("CRAWLSPARK_SCALING_REP",
                                                "60")))
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--kernel-pages", type=int,
+                    default=int(os.environ.get("CRAWLSPARK_KERNEL_PAGES",
+                                               "3000")))
     ap.add_argument("--trials", type=int,
                     default=int(os.environ.get("CRAWLSPARK_SCALING_TRIALS",
                                                "3")))
@@ -193,38 +270,59 @@ def main() -> int:
         return 0
 
     ensure_fixture(args.n_pages)  # build once, shared by all workers
-    levels = (8, 32)
-    results: dict[str, dict[int, list[dict]]] = {"kernel": {}, "crawl": {}}
-    for mode in ("kernel", "crawl"):
-        trials = args.trials if mode == "kernel" else max(2, args.trials - 1)
-        for cores in levels:
-            runs = []
-            for t in range(trials):
-                r = spawn(mode, cores, args.n_pages, args.rep, args.rounds)
-                print(f"{mode} local[{cores}] trial {t}: {r}", flush=True)
-                runs.append(r)
-            results[mode][cores] = runs
 
-    def median_tput(mode, cores):
+    print("calibrating hardware ceiling (pure-python burn)...", flush=True)
+    calib = calibrate((4, 8, 16, 32))
+    hw_eff = {f"{lo}->{hi}": round(calib[hi] / (4 * calib[lo]), 3)
+              for lo, hi in ((4, 16), (8, 32))}
+    print(f"hardware ceiling (N->4N efficiency): {hw_eff}", flush=True)
+
+    # (mode, n_pages, N, 4N, trials) — trials interleaved lo/hi so host
+    # drift hits both levels equally; compute/kernel use the small base
+    # graph (bigger inputs make the dedup exchange disk-bound, see
+    # BENCH/BASELINE.md)
+    kp = args.kernel_pages
+    pairs = [("compute", kp, 4, 16, args.trials),
+             ("compute", kp, 8, 32, args.trials),
+             ("kernel", kp, 4, 16, args.trials),
+             ("kernel", kp, 8, 32, args.trials),
+             ("crawl", args.n_pages, 8, 32, max(2, args.trials - 1))]
+    results: dict[str, dict[int, list[dict]]] = {}
+    for mode, np_, lo, hi, trials in pairs:
+        res = results.setdefault(f"{mode}_{lo}to{hi}", {})
+        for t in range(trials):
+            for cores in (lo, hi):
+                r = spawn(mode, cores, np_, args.rep, args.rounds)
+                print(f"{mode} local[{cores}] trial {t}: {r}", flush=True)
+                res.setdefault(cores, []).append(r)
+
+    def med(key, cores):
         return statistics.median(
-            r["urls_per_sec"] for r in results[mode][cores])
+            r["urls_per_sec"] for r in results[key][cores])
 
     summary = {}
-    for mode in ("kernel", "crawl"):
-        t8, t32 = median_tput(mode, 8), median_tput(mode, 32)
-        summary[mode] = {
-            "urls_per_sec_local8": t8,
-            "urls_per_sec_local32": t32,
-            "efficiency_8_to_32": round(t32 / (4 * t8), 3),
-            "trials": {str(c): results[mode][c] for c in levels},
+    for mode, np_, lo, hi, _ in pairs:
+        key = f"{mode}_{lo}to{hi}"
+        t_lo, t_hi = med(key, lo), med(key, hi)
+        raw = t_hi / (4 * t_lo)
+        ceil = calib[hi] / (4 * calib[lo])
+        summary[key] = {
+            f"urls_per_sec_local{lo}": t_lo,
+            f"urls_per_sec_local{hi}": t_hi,
+            "efficiency_raw": round(raw, 3),
+            "hardware_ceiling_efficiency": round(ceil, 3),
+            "efficiency_vs_ceiling": round(raw / ceil, 3),
         }
     out = {"n_pages": args.n_pages, "rep": args.rep,
-           "levels": {"N": "local[8]", "4N": "local[32]"}, **summary}
+           "calibration_iters_per_sec": {str(k): round(v) for k, v in
+                                         calib.items()},
+           "summary": summary,
+           "trials": {m: {str(c): rs for c, rs in cs.items()}
+                      for m, cs in results.items()}}
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps({k: v for k, v in out.items() if k != "crawl"
-                      or True}, indent=1))
+    print(json.dumps({"summary": summary}, indent=1))
     return 0
 
 
