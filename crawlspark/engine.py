@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
@@ -562,10 +563,10 @@ class CrawlEngine:
         # One cheap action materializes the deep shared cache chain
         # (elig -> batch -> extracted -> items -> c -> new_rows) exactly once;
         # every sink below is then a shallow projection over cached data.
-        import time as _time
-        _t = {"t0": _time.time()}
+        # phase timings land in self.last_timings (bench/diagnostics)
+        _t = {"t0": time.time()}
         new_rows.count()
-        _t["materialize"] = _time.time() - _t["t0"]
+        _t["materialize"] = time.time() - _t["t0"]
 
         # All table writes go to distinct round-versioned directories and are
         # only made visible by the single manifest rename below, so they can
@@ -594,12 +595,12 @@ class CrawlEngine:
             writes.append(
                 ("seen_shards", self._update_shards(shards_df, seen_delta),
                  True))
-        _t1 = _time.time()
+        _t1 = time.time()
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futs = {name: pool.submit(self.store.write_round, df, name, ver)
                     for name, df, _ in writes}
             paths = {name: f.result() for name, f in futs.items()}
-        _t["writes"] = _time.time() - _t1
+        _t["writes"] = time.time() - _t1
         for name, _, full in writes:
             tables[name] = [paths[name]] if full \
                 else tables.get(name, []) + [paths[name]]
@@ -639,7 +640,7 @@ class CrawlEngine:
                 "seen_shards", ver)]
             # cache key = the round number this commit's manifest carries
             self._shard_cache = (rnd, new_bits)
-        _t["shards_commit"] = _time.time() - _t1 - _t["writes"]
+        _t["shards_commit"] = time.time() - _t1 - _t["writes"]
         self.store.commit(rnd, state, tables)
         self.last_timings = _t
 

@@ -494,7 +494,14 @@ def q_docs_ngram_pairs(spark, sf):
                   .alias("shingle"))
           .distinct())
     n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (sh.alias("a").join(sh.alias("b"), "shingle")
+    # scale guard: drop shingles shared by >64 docs before the self-join —
+    # ultra-frequent shingles blow the join output up quadratically while
+    # contributing nothing to NEAR-dup detection; the DuckDB oracle applies
+    # the identical cap, and |union| still uses the UNCAPPED counts
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= 64).select("shingle"))
+    sh_r = sh.join(rare, "shingle")
+    pairs = (sh_r.alias("a").join(sh_r.alias("b"), "shingle")
              .filter(F.col("a.doc_id") < F.col("b.doc_id"))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
@@ -520,9 +527,11 @@ WITH sh AS (
         FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
        unnest(generate_series(1, len(w)-2)) AS g(i)),
 ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b, inter,
        ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
@@ -594,6 +603,102 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[]))
            AS DOUBLE) >= 0.45
+"""
+
+
+def q_docs_rolling_hash(spark, sf):
+    """Rolling (polynomial) document fingerprint, fully JVM-side: fold
+    h = (h*31 + charcode) mod 1e9+7 over the whitespace-normalized text via
+    the `aggregate` higher-order function — no UDF. DuckDB mirrors it with
+    list_reduce (which seeds from the first element, hence the slice)."""
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), "\\s+", " "))
+    return (d.withColumn("_n", norm)
+            .filter(F.length("_n") > 0)
+            .withColumn("codes", F.expr(
+                "transform(filter(split(_n, ''), c -> c <> ''),"
+                " c -> CAST(ascii(c) AS BIGINT))"))
+            .withColumn("rhash", F.expr(
+                "aggregate(slice(codes, 2, size(codes) - 1), codes[0],"
+                " (a, b) -> (a * 31 + b) % 1000000007)"))
+            .select("doc_id", "rhash"))
+
+
+SQL_DOCS_ROLLING_HASH = """
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''),
+           c -> CAST(ascii(c) AS BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+FROM documents
+WHERE length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) > 0
+"""
+
+
+def q_emb_ann_ivf(spark, sf):
+    """IVF-style ANN: 16 deterministic centroids (the vectors of vec_id
+    0..15), every vector assigned to its nearest centroid (inverted file),
+    then the query (vec_id 0) searches ONLY its own cell — the coarse-
+    quantization scale path (cells shard the 100 TB corpus; brute force
+    q_emb_cosine_topk is the correctness baseline)."""
+    e = _t(spark, sf, "embeddings") \
+        .withColumn("emb", F.col("embedding").cast("array<double>")) \
+        .select("vec_id", "label", "emb")
+    cents = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"))
+    cos = F.expr(
+        "aggregate(zip_with(emb, cent, (x, y) -> x * y), 0D,"
+        " (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(emb, x -> x * x), 0D,"
+        "          (acc, v) -> acc + v))"
+        "    * sqrt(aggregate(transform(cent, x -> x * x), 0D,"
+        "            (acc, v) -> acc + v)))")
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                             F.col("cent_id").asc())
+    assign = (e.crossJoin(F.broadcast(cents))
+              .withColumn("c_cos", cos)
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", "label", "emb", "cent_id"))
+    q = assign.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("cent_id").alias("q_cent"))
+    qcos = F.expr(
+        "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D,"
+        " (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(emb, x -> x * x), 0D,"
+        "          (acc, v) -> acc + v))"
+        "    * sqrt(aggregate(transform(q_emb, x -> x * x), 0D,"
+        "            (acc, v) -> acc + v)))")
+    return (assign.crossJoin(F.broadcast(q))
+            .filter((F.col("cent_id") == F.col("q_cent"))
+                    & (F.col("vec_id") != 0))
+            .withColumn("cosine", F.round(qcos, 6))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .select("vec_id", "label", "cosine"))
+
+
+SQL_EMB_ANN_IVF = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 16),
+assign AS (
+  SELECT vec_id, label, emb, cent_id FROM (
+    SELECT e.vec_id, e.label, e.emb, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(list_cosine_similarity(e.emb, c.cent) AS DOUBLE)
+                      DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN cents c)
+  WHERE rn = 1),
+q AS (SELECT emb AS q_emb, cent_id AS q_cent FROM assign WHERE vec_id = 0)
+SELECT a.vec_id, a.label,
+       ROUND(CAST(list_cosine_similarity(a.emb, q.q_emb) AS DOUBLE), 6)
+         AS cosine
+FROM assign a, q
+WHERE a.cent_id = q.q_cent AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
 """
 
 
@@ -760,6 +865,8 @@ QUERIES = {
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "emb_ann_ivf": (q_emb_ann_ivf, SQL_EMB_ANN_IVF),
+    "docs_rolling_hash": (q_docs_rolling_hash, SQL_DOCS_ROLLING_HASH),
     "media_manifest": (q_media_manifest, SQL_MEDIA_MANIFEST),
     # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media)
     "docs_minhash_lsh": (q_docs_minhash_lsh, None),
