@@ -46,11 +46,14 @@ def bench_crawl(spark, sf: float, rounds: int) -> dict:
     from crawlspark.engine import CrawlEngine
     from crawlspark.fixtures.webgraph import MEGA_HOSTS, write_fixture
 
-    n_pages = max(300, int(30000 * sf))
+    # sf-scaled web graph; host count scales with pages (n_pages/40), so
+    # bigger graphs mean bigger politeness-legal rounds — the regime where
+    # the per-round fixed costs amortize (BENCH/BASELINE.md)
+    n_pages = max(300, int(100000 * sf))
     cfg = CrawlConfig(
         allowed_domains=("example-hotels.test", "example-restaurants.test",
                          *MEGA_HOSTS),
-        round_cap=1024, default_crawl_delay_s=0.05, max_rounds=rounds)
+        round_cap=8192, default_crawl_delay_s=0.02, max_rounds=rounds)
     fx_dir = os.path.join(tempfile.gettempdir(),
                           f"crawlspark_bench_fx_{n_pages}")
     if not os.path.isdir(fx_dir):
