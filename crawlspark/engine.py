@@ -307,8 +307,12 @@ class CrawlEngine:
                                F.lit("/")),
                     F.col("allow_prefixes"), F.col("disallow_prefixes")),
                 F.lit(True)))
+        # cache the annotated frontier once — both the eligible branch and
+        # the blocked-count metric derive from it (without this, the metrics
+        # sink re-runs the robots join + UDF over the whole frontier)
+        fr = fr.select(*[f.name for f in FRONTIER_SCHEMA], "_allowed").cache()
         elig = fr.filter(F.col("_allowed")) \
-            .select(*[f.name for f in FRONTIER_SCHEMA]).cache()
+            .select(*[f.name for f in FRONTIER_SCHEMA])
         blocked_m = (fr.filter(~F.col("_allowed"))
                      .groupBy("host")
                      .agg(F.count("*").alias("robots_blocked")))
@@ -644,7 +648,7 @@ class CrawlEngine:
         self.store.commit(rnd, state, tables)
         self.last_timings = _t
 
-        for df in (elig, host_round, batch, extracted, items, c, new_rows,
+        for df in (fr, host_round, batch, extracted, items, c, new_rows,
                    frontier_next):
             df.unpersist()
         return self.store.latest()
