@@ -204,6 +204,12 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
         alw = ["/private/open"] if dis and rng.random() < 0.7 else []
         if rng.random() < 0.2:
             dis.append("/review")
+        # REP wildcard rules (*, $): disallow any path ending in 7, but a
+        # longer Allow carves /hotel/...7 back out (longest-pattern-wins)
+        if rng.random() < 0.25:
+            dis.append("/*7$")
+            if rng.random() < 0.5:
+                alw.append("/hotel/*7$")
         delay = round(rng.choice([0.0, 0.25, 0.5, 1.0]), 2) or None
         rrows.append((h, alw, dis, delay))
     robots = pd.DataFrame(

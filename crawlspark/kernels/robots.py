@@ -1,28 +1,60 @@
-"""robots.txt gating — Protego-subset longest-prefix matcher (SURVEY §2.2 P5).
+"""robots.txt gating — Protego-style matcher (SURVEY §2.2 P5).
 
 Reference behavior (tier [S:scrapy/downloadermiddlewares/robotstxt.py] +
-protego): for User-agent:*, the most specific (longest) matching Allow or
-Disallow path prefix wins; on equal length Allow wins; no matching rule =>
-allowed. Crawl-delay feeds the politeness budget (F4).
+protego, Robots Exclusion Protocol): for User-agent:*, the most specific
+(longest-pattern) matching Allow or Disallow rule wins; on equal length
+Allow wins; no matching rule => allowed. Patterns support ``*`` (any char
+sequence) and a trailing ``$`` (end anchor) per REP/Googlebot semantics;
+specificity is the raw pattern length (protego's rule). Matching is over
+the URL *path* (documented limitation: query strings are not matched —
+the fixture generator emits path-only rules). Crawl-delay feeds the
+politeness budget (F4).
 
-protego is not installed in-sandbox; the fixture generator only emits this
-subset (documented limitation, SURVEY §7.3 hard-part 3). The pure function
-below is shared by engine (inside an Arrow-vectorized pandas UDF) and oracle.
+protego is not installed in-sandbox, so this is a from-scratch
+reimplementation. The pure function below is shared by engine (inside an
+Arrow-vectorized pandas UDF) and oracle — parity by construction.
 """
 
 from __future__ import annotations
 
+import re
+
+_RX_CACHE: dict[str, re.Pattern | None] = {}
+
+
+def _pattern_rx(pattern: str) -> re.Pattern | None:
+    """Compiled regex for a wildcard rule, or None for plain prefixes."""
+    rx = _RX_CACHE.get(pattern, False)
+    if rx is not False:
+        return rx
+    if "*" not in pattern and not pattern.endswith("$"):
+        rx = None                       # fast path: plain prefix
+    else:
+        body = re.escape(pattern).replace(r"\*", ".*")
+        if body.endswith(r"\$"):
+            body = body[:-2] + "$"
+        rx = re.compile(body)
+    _RX_CACHE[pattern] = rx
+    return rx
+
+
+def _matches(pattern: str, path: str) -> bool:
+    rx = _pattern_rx(pattern)
+    if rx is None:
+        return path.startswith(pattern)
+    return rx.match(path) is not None
+
 
 def robots_allowed(path: str, allow_prefixes: list[str] | None,
                    disallow_prefixes: list[str] | None) -> bool:
-    """Longest-prefix Allow/Disallow decision for one URL path."""
+    """Longest-pattern Allow/Disallow decision for one URL path."""
     best_allow = -1
     best_dis = -1
     for p in allow_prefixes or ():
-        if p and path.startswith(p) and len(p) > best_allow:
+        if p and len(p) > best_allow and _matches(p, path):
             best_allow = len(p)
     for p in disallow_prefixes or ():
-        if p and path.startswith(p) and len(p) > best_dis:
+        if p and len(p) > best_dis and _matches(p, path):
             best_dis = len(p)
     return best_allow >= best_dis  # ties -> Allow wins; no rules -> allowed
 
