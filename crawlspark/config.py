@@ -24,7 +24,8 @@ class CrawlConfig:
     and serializable into the snapshot manifest (C1 resume uses it)."""
 
     allowed_domains: tuple[str, ...] = ()   # P1 offsite suffix match; () = off
-    depth_limit: int = 6                    # P2 (Scrapy DEPTH_LIMIT=0 means off;
+    depth_limit: int = 6                    # P2; 0 = unlimited (Scrapy
+                                            # DEPTH_LIMIT=0 semantics;
                                             # we pin a finite default for tests)
     allow_re: str = ""                      # P4 LinkExtractor allow= ("" = all)
     deny_re: str = ""                       # P4 deny= ("" = none)
@@ -45,6 +46,11 @@ class CrawlConfig:
     bloom_hashes: int = 4                   # D3 k hash functions
     use_bloom: bool = True                  # D3 prefilter on/off (exactness is
                                             # guaranteed by J3 either way)
+    autothrottle: bool = False              # A5 AutoThrottle analogue, opt-in
+                                            # (Scrapy default: disabled [S])
+    at_start_delay_s: float = 5.0           # AUTOTHROTTLE_START_DELAY [S]
+    at_max_delay_s: float = 60.0            # AUTOTHROTTLE_MAX_DELAY [S]
+    at_target_concurrency: float = 1.0      # AUTOTHROTTLE_TARGET_CONCURRENCY
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF
@@ -70,6 +76,25 @@ class CrawlConfig:
         avail = carry_s + self.round_wall_s
         budget = min(int(conc), max(1, int(avail / delay)))
         return budget, avail
+
+    def at_fold(self, d: float, responses: list[tuple[float, int]],
+                min_delay: float) -> float:
+        """A5 AutoThrottle analogue, serialized: Scrapy's _adjust_delay
+        [S:scrapy/extensions/throttle.py] folded over one round's responses
+        in global fetch order. Per response: target = latency/target_conc;
+        candidate = max(target, (delay+target)/2) clamped to
+        [min_delay, at_max]; non-200 responses never DECREASE the delay.
+        The engine evaluates the identical fold as a native `aggregate`
+        higher-order expression — same IEEE double ops, same order, so
+        engine/oracle parity is exact."""
+        for lat_s, status in responses:
+            td = lat_s / self.at_target_concurrency
+            nd = max(td, (d + td) / 2.0)
+            nd = min(max(min_delay, nd), self.at_max_delay_s)
+            if status != 200 and nd <= d:
+                continue
+            d = nd
+        return d
 
     def carry_after(self, avail_s: float, fetched: int,
                     crawl_delay_s: float | None) -> float:

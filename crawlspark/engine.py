@@ -105,6 +105,7 @@ LINEAGE_SCHEMA = StructType([
 HOST_STATE_SCHEMA = StructType([
     StructField("host", StringType()),
     StructField("carry_s", DoubleType()),
+    StructField("at_delay_s", DoubleType()),   # A5 AutoThrottle state
 ])
 
 SHARDS_SCHEMA = "shard int, bits binary"
@@ -326,8 +327,16 @@ class CrawlEngine:
             .join(F.broadcast(host_state), "host", "left")
             .withColumn("_d", F.greatest(F.coalesce("policy_delay_s", F.lit(0.0)),
                                          F.coalesce("robots_delay_s", F.lit(0.0))))
-            .withColumn("delay_eff", F.when(F.col("_d") > 0, F.col("_d"))
+            .withColumn("delay_base", F.when(F.col("_d") > 0, F.col("_d"))
                         .otherwise(F.lit(cfg.default_crawl_delay_s)))
+            # A5 AutoThrottle (opt-in): round delay = clamped adaptive state
+            .withColumn("at_state",
+                        F.coalesce("at_delay_s", F.lit(cfg.at_start_delay_s))
+                        .cast("double"))
+            .withColumn("delay_eff",
+                        F.least(F.greatest("at_state", "delay_base"),
+                                F.lit(cfg.at_max_delay_s))
+                        if cfg.autothrottle else F.col("delay_base"))
             .withColumn("conc", F.coalesce(F.col("max_concurrency"),
                                            F.lit(cfg.default_max_concurrency)))
             .withColumn("avail", F.coalesce("carry_s", F.lit(0.0))
@@ -338,7 +347,8 @@ class CrawlEngine:
                                            F.floor(F.col("avail") / F.col("delay_eff"))))
                         .cast("int"))
             .withColumn("salt_n", F.coalesce(F.col("salt_n"), F.lit(1)))
-            .select("host", "n_pending", "delay_eff", "avail", "budget", "salt_n")
+            .select("host", "n_pending", "delay_base", "at_state", "delay_eff",
+                    "avail", "budget", "salt_n")
         ).cache()
 
         # ---- F3 salted two-phase per-host priority dequeue (J6) -----------
@@ -472,7 +482,8 @@ class CrawlEngine:
         pass_f = (F.col("scheme").isin("http", "https")
                   & (F.length("url_canon") <= cfg.max_url_len)
                   & ~F.col("path").rlike(IGNORED_EXT_RE)
-                  & (F.col("depth") <= cfg.depth_limit))
+                  & ((F.col("depth") <= cfg.depth_limit)
+                     if cfg.depth_limit > 0 else F.lit(True)))
         if cfg.allow_re:
             pass_f = pass_f & F.col("url_canon").rlike(cfg.allow_re)
         if cfg.deny_re:
@@ -503,15 +514,39 @@ class CrawlEngine:
 
         # ---- politeness carry update (shared arithmetic w/ oracle) ---------
         fetched_by_host = batch.groupBy("host").agg(
-            F.count("*").alias("fetched_n"))
+            F.count("*").alias("fetched_n"),
+            F.array_sort(F.collect_list(F.struct(
+                F.col("fetch_rank"),
+                (F.coalesce("latency_ms", F.lit(0.0)) / F.lit(1000.0))
+                .alias("lat"),
+                F.col("status").alias("st")))).alias("resp"))
         carry_new = (host_round.join(fetched_by_host, "host", "left")
                      .withColumn(
                          "carry_s",
                          F.greatest(F.lit(0.0), F.least(
                              F.col("avail") - F.coalesce("fetched_n", F.lit(0))
                              * F.col("delay_eff"),
-                             F.lit(cfg.round_wall_s))))
-                     .select("host", "carry_s"))
+                             F.lit(cfg.round_wall_s)))))
+        if cfg.autothrottle:
+            # config.at_fold as a native higher-order aggregate — identical
+            # IEEE double ops in identical (global fetch rank) order
+            def _at_merge(acc, s):
+                td = s["lat"] / F.lit(cfg.at_target_concurrency)
+                nd = F.least(
+                    F.greatest(F.col("delay_base"),
+                               F.greatest(td, (acc + td) / F.lit(2.0))),
+                    F.lit(cfg.at_max_delay_s))
+                return F.when((s["st"] != F.lit(200)) & (nd <= acc), acc) \
+                    .otherwise(nd)
+            carry_new = carry_new.withColumn(
+                "at_delay_s",
+                F.when(F.col("resp").isNull(), F.col("at_state"))
+                .otherwise(F.aggregate(
+                    "resp", F.col("at_state").cast("double"), _at_merge)))
+        else:
+            carry_new = carry_new.withColumn("at_delay_s",
+                                             F.col("at_state").cast("double"))
+        carry_new = carry_new.select("host", "carry_s", "at_delay_s")
         host_state_next = host_state.join(host_round, "host", "left_anti") \
             .unionByName(carry_new)
 
@@ -691,3 +726,17 @@ class CrawlEngine:
 
     def metrics_df(self, manifest: dict) -> DataFrame:
         return self.store.read(self.spark, manifest, "metrics", METRICS_SCHEMA)
+
+    def order_hash_df(self, manifest: dict) -> DataFrame:
+        """Exact-order verification at scale (SURVEY §4.3): one sha256 per
+        round over the rank-ordered fingerprint sequence. Comparing chunk
+        hashes replaces materializing a 10^10-length order list; each group
+        is bounded by round_cap rows. Oracle equivalent:
+        sha256(','.join(fps in rank order))."""
+        co = self.crawl_order_df(manifest)
+        seq = F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "fingerprint"))),
+            lambda s: s["fingerprint"])
+        return (co.groupBy("round")
+                .agg(F.sha2(F.concat_ws(",", seq), 256).alias("order_sha256"),
+                     F.count("*").alias("n")))

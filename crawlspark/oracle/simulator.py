@@ -100,6 +100,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     res = OracleResult()
     pending: dict[str, _Req] = {}
     carry: dict[str, float] = {}
+    at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
     next_seq = 0
     rank = 0
 
@@ -110,6 +111,13 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         d2 = float(r.crawl_delay_s) if r is not None and r.crawl_delay_s \
             and not pd.isna(r.crawl_delay_s) else 0.0
         return max(d1, d2) or cfg.default_crawl_delay_s
+
+    def delay_used(host: str) -> float:
+        base = eff_delay(host)
+        if not cfg.autothrottle:
+            return base
+        return min(max(at_state.get(host, cfg.at_start_delay_s), base),
+                   cfg.at_max_delay_s)
 
     def max_conc(host: str) -> int:
         p = policy.get(host)
@@ -165,7 +173,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         avail_by_host: dict[str, float] = {}
         budget_by_host: dict[str, int] = {}
         for host, reqs in by_host.items():
-            budget, avail = cfg.budget_for(eff_delay(host), max_conc(host),
+            budget, avail = cfg.budget_for(delay_used(host), max_conc(host),
                                            carry.get(host, 0.0))
             avail_by_host[host] = avail
             budget_by_host[host] = budget
@@ -179,6 +187,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         fetch_list = [q for q, _ in selected[:cfg.round_cap]]
 
         fetched_per_host: dict[str, int] = {}
+        responses_per_host: dict[str, list[tuple[float, int]]] = {}
         round_base = next_seq
 
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
@@ -194,6 +203,9 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 status = 200
             else:
                 status = int(page.status)
+            lat_s = (float(page.latency_ms) / 1000.0) if page is not None \
+                else 0.0
+            responses_per_host.setdefault(req.host, []).append((lat_s, status))
             rank += 1
             res.crawl_order.append({
                 "rank": rank, "fingerprint": req.fingerprint,
@@ -244,7 +256,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                         or (allow_re and not allow_re.search(canon))
                         or (deny_re and deny_re.search(canon))
                         or not _suffix_match(host, cfg.allowed_domains)
-                        or depth > cfg.depth_limit):
+                        or (cfg.depth_limit > 0
+                            and depth > cfg.depth_limit)):
                     mc(req.host, "filtered")
                     continue
                 fp = fingerprint_hex(canon)
@@ -256,11 +269,15 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 pending[fp] = _Req(fp, canon, host, prio, depth, seq)
                 mc(req.host, "enqueued")
 
-        # ---- carry update for hosts with eligible candidates ---------------
+        # ---- carry + AutoThrottle update for hosts with eligible candidates
         for host in by_host:
             carry[host] = cfg.carry_after(
                 avail_by_host[host], fetched_per_host.get(host, 0),
-                eff_delay(host))
+                delay_used(host))
+            if cfg.autothrottle and responses_per_host.get(host):
+                at_state[host] = cfg.at_fold(
+                    at_state.get(host, cfg.at_start_delay_s),
+                    responses_per_host[host], eff_delay(host))
 
         for host, d in sorted(m.items()):
             res.metrics.append({"round": rnd, "host": host, **d})

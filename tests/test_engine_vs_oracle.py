@@ -87,3 +87,19 @@ def test_lineage_recorded(engine_run):
         .toPandas()
     assert set(lin.stage) == {"eligible", "fetched", "candidates", "enqueued"}
     assert (lin.rows >= 0).all() and len(lin) > 0
+
+
+def test_order_hash_chunks_match_oracle(engine_run, oracle_result):
+    """SURVEY §4.3 scale path: per-round order hashes equal the oracle's
+    (the mechanism that replaces full-list comparison at 10^10 scale)."""
+    import hashlib
+    from collections import defaultdict
+    eng, manifest = engine_run
+    got = {r["round"]: (r["order_sha256"], r["n"])
+           for r in eng.order_hash_df(manifest).collect()}
+    by_round = defaultdict(list)
+    for rec in sorted(oracle_result.crawl_order, key=lambda r: r["rank"]):
+        by_round[rec["round"]].append(rec["fingerprint"])
+    want = {rnd: (hashlib.sha256(",".join(fps).encode()).hexdigest(), len(fps))
+            for rnd, fps in by_round.items()}
+    assert got == want
