@@ -1,0 +1,57 @@
+"""X7 HTTP fetcher plumbing: mapInPandas schema, row-order preservation,
+status/redirect mapping — exercised via an injected deterministic opener
+(no network in-sandbox)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawlspark import fetcher
+
+
+def make_fake_opener():
+    # local def: cloudpickle serializes it BY VALUE, so executors don't
+    # need the tests/ dir on their import path
+    def fake_opener(url: str, timeout_s: float):
+        if url.endswith("/redir"):
+            return 301, "", url.replace("/redir", "/target")
+        if url.endswith("/boom"):
+            return 503, "", None
+        return 200, f"<html><p>{url}</p></html>", None
+    return fake_opener
+
+
+@pytest.fixture(scope="module")
+def fetched(spark):
+    urls = [(f"https://h{i}.test/{kind}",)
+            for i in range(20)
+            for kind in ("page", "redir", "boom")]
+    batch = spark.createDataFrame(urls, "url_canon string").repartition(4)
+    df = fetcher.http_fetch_batch(batch, opener=make_fake_opener()).cache()
+    return df
+
+
+def test_schema_and_counts(fetched):
+    assert fetched.schema == fetcher.FETCH_SCHEMA
+    assert fetched.count() == 60
+
+
+def test_status_and_redirect_mapping(fetched):
+    rows = {r["url_canon"]: r for r in fetched.collect()}
+    for url, r in rows.items():
+        if url.endswith("/redir"):
+            assert r["status"] == 301
+            assert r["redirect_to"] == url.replace("/redir", "/target")
+        elif url.endswith("/boom"):
+            assert r["status"] == 503 and r["redirect_to"] is None
+        else:
+            assert r["status"] == 200 and url in r["body_html"]
+        assert r["latency_ms"] >= 0.0
+
+
+def test_row_order_preserved_within_partition(spark):
+    urls = [(f"https://ordered.test/{i:03d}",) for i in range(50)]
+    batch = spark.createDataFrame(urls, "url_canon string").coalesce(1)
+    out = [r["url_canon"] for r in
+           fetcher.http_fetch_batch(batch, opener=make_fake_opener()).collect()]
+    assert out == [u for (u,) in urls]
