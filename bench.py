@@ -102,10 +102,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # untimed warmup pass: whole-stage codegen + parquet reader init are
+    # one-time costs (~2.5 s) that would otherwise be charged to whichever
+    # query happens to run first; the timed pass measures steady state
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        fn(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        df = fn(spark, sf_dir)
+        df = fn(spark, sf_dir)   # fresh DAG — no shuffle-reuse from warmup
         t0 = time.time()
         df.count()
         timings[name] = round(time.time() - t0, 3)
