@@ -71,3 +71,33 @@ def test_seen_equals_order_plus_pending_frontier(run_pair):
                               FRONTIER_SCHEMA).toPandas()
     assert co <= seen
     assert set(frontier.fingerprint) <= seen
+
+
+def test_bfo_order_matches_oracle(spark, tmp_path_factory):
+    """R4 FIFO/BFO variant (lifo=False): engine == oracle exactly — the
+    dequeue tie-break flip is exercised, not just the LIFO default."""
+    from crawlspark.config import CrawlConfig
+    base = default_config()
+    cfg = CrawlConfig(**{**base.to_dict(),
+                         "allowed_domains": base.allowed_domains,
+                         "lifo": False})
+    fx = str(tmp_path_factory.mktemp("bfo_graph"))
+    write_fixture(fx, n_pages=90, seed=11, config=cfg)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    oracle = simulate(pdfs, cfg)
+    eng = CrawlEngine(spark, fx, str(tmp_path_factory.mktemp("bfo_run")), cfg)
+    manifest = eng.run()
+    cols = ["rank", "fingerprint", "round"]
+    got = (eng.crawl_order_df(manifest).orderBy("rank").toPandas()[cols]
+           .reset_index(drop=True))
+    want = pd.DataFrame(oracle.crawl_order)[cols] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and BFO must actually differ from LIFO on the same graph
+    lifo_cfg = CrawlConfig(**{**cfg.to_dict(),
+                              "allowed_domains": cfg.allowed_domains,
+                              "lifo": True})
+    lifo = simulate(pdfs, lifo_cfg)
+    assert [r["fingerprint"] for r in lifo.crawl_order] != \
+        [r["fingerprint"] for r in oracle.crawl_order]
