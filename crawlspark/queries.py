@@ -258,6 +258,48 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_sessions(spark, sf):
+    """Sessionization: a new session starts after a >30-min gap per user
+    (lag + conditional cumulative sum) — the batch form of session
+    windows; returns per-session bounds and event counts."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    sess = (e.withColumn("new_s", F.when(F.coalesce(gap, F.lit(True)), 1)
+                         .otherwise(0))
+            .withColumn("session_no",
+                        F.sum("new_s").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                        .cast("long")))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("session_value")))
+
+
+SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, session_no, MIN(ts) AS session_start,
+       MAX(ts) AS session_end, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS session_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def q_window_lag(spark, sf):
     """Q4 lag/lead: per-user value delta over time."""
     e = _t(spark, sf, "events")
@@ -853,6 +895,7 @@ QUERIES = {
     "event_histogram": (q_event_histogram, SQL_EVENT_HISTOGRAM),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "tumbling_hourly": (q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "top_orders": (q_top_orders, SQL_TOP_ORDERS),
