@@ -29,7 +29,7 @@ HEADLINE = [
     "frontier_dequeue", "frontier_topk", "pricing_summary",
     "revenue_by_nation", "window_lag", "tumbling_hourly", "seen_anti_join",
     "docs_token_stats", "docs_ngram_pairs", "docs_minhash_lsh",
-    "emb_cosine_topk", "emb_ann_lsh",
+    "emb_cosine_topk", "emb_ann_lsh", "emb_ann_ivf", "event_sessions",
 ]
 
 
