@@ -290,8 +290,9 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_s
   FROM events),
 s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_no
   FROM g)
 SELECT user_id, session_no, MIN(ts) AS session_start,
        MAX(ts) AS session_end, COUNT(*) AS n_events,
