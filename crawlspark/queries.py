@@ -842,24 +842,23 @@ def q_docs_minhash_lsh(spark, sf):
 
 def q_docs_simhash(spark, sf):
     """SimHash document fingerprints: per-token xxhash64, sign-sum over 64
-    bit positions, assembled to one BIGINT per doc. Rows-only check."""
+    bit positions, assembled to one BIGINT per doc. Rows-only check.
+
+    Scale shape: ONE shuffle whose row count equals the token count — the
+    64 per-bit sign-sums are 64 conditional-sum aggregates over the token
+    rows (partial map-side combine collapses them per doc before the
+    shuffle), NOT a per-bit explode (which would shuffle 64x the rows)."""
     d = _t(spark, sf, "documents")
     toks = (d.select("doc_id",
                      F.explode(F.split(F.trim("text"), "\\s+")).alias("tok"))
             .withColumn("h", F.xxhash64("tok")))
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.col("h"))
-    contrib = bits.withColumn(
-        "c", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
-    sums = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-    return (sums.withColumn("bitval",
-                            F.when(F.col("s") > 0,
-                                   F.expr("CAST(1 AS BIGINT) << bit"))
-                            .otherwise(F.lit(0).cast("long")))
-            .groupBy("doc_id")
-            .agg(F.sum("bitval").alias("simhash")))
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+          .alias(f"s{b}") for b in range(64)])
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b}"
+        f" ELSE CAST(0 AS BIGINT) END)" for b in range(64))
+    return sums.select("doc_id", F.expr(bit_terms).alias("simhash"))
 
 
 def q_emb_ann_lsh(spark, sf):
