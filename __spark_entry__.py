@@ -29,5 +29,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; rows-only ops (xxhash64-based
-    sketches: minhash/simhash/ann-lsh) are deliberately omitted."""
+    sketches: minhash/simhash; binary media) are deliberately omitted."""
     return {name: sql for name, (_, sql) in QUERIES.items() if sql}

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import similarity as sim
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -679,72 +681,6 @@ WHERE length(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) > 0
 """
 
 
-def q_emb_ann_ivf(spark, sf):
-    """IVF-style ANN: 16 deterministic centroids (the vectors of vec_id
-    0..15), every vector assigned to its nearest centroid (inverted file),
-    then the query (vec_id 0) searches ONLY its own cell — the coarse-
-    quantization scale path (cells shard the 100 TB corpus; brute force
-    q_emb_cosine_topk is the correctness baseline)."""
-    e = _t(spark, sf, "embeddings") \
-        .withColumn("emb", F.col("embedding").cast("array<double>")) \
-        .select("vec_id", "label", "emb")
-    cents = e.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"))
-    cos = F.expr(
-        "aggregate(zip_with(emb, cent, (x, y) -> x * y), 0D,"
-        " (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(emb, x -> x * x), 0D,"
-        "          (acc, v) -> acc + v))"
-        "    * sqrt(aggregate(transform(cent, x -> x * x), 0D,"
-        "            (acc, v) -> acc + v)))")
-    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
-                                             F.col("cent_id").asc())
-    assign = (e.crossJoin(F.broadcast(cents))
-              .withColumn("c_cos", cos)
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
-              .select("vec_id", "label", "emb", "cent_id"))
-    q = assign.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("q_emb"), F.col("cent_id").alias("q_cent"))
-    qcos = F.expr(
-        "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D,"
-        " (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(emb, x -> x * x), 0D,"
-        "          (acc, v) -> acc + v))"
-        "    * sqrt(aggregate(transform(q_emb, x -> x * x), 0D,"
-        "            (acc, v) -> acc + v)))")
-    return (assign.crossJoin(F.broadcast(q))
-            .filter((F.col("cent_id") == F.col("q_cent"))
-                    & (F.col("vec_id") != 0))
-            .withColumn("cosine", F.round(qcos, 6))
-            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-            .limit(10)
-            .select("vec_id", "label", "cosine"))
-
-
-SQL_EMB_ANN_IVF = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e WHERE vec_id < 16),
-assign AS (
-  SELECT vec_id, label, emb, cent_id FROM (
-    SELECT e.vec_id, e.label, e.emb, c.cent_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY CAST(list_cosine_similarity(e.emb, c.cent) AS DOUBLE)
-                      DESC, c.cent_id ASC) AS rn
-    FROM e CROSS JOIN cents c)
-  WHERE rn = 1),
-q AS (SELECT emb AS q_emb, cent_id AS q_cent FROM assign WHERE vec_id = 0)
-SELECT a.vec_id, a.label,
-       ROUND(CAST(list_cosine_similarity(a.emb, q.q_emb) AS DOUBLE), 6)
-         AS cosine
-FROM assign a, q
-WHERE a.cent_id = q.q_cent AND a.vec_id <> 0
-ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
-"""
-
-
 def q_media_manifest(spark, sf):
     """O2 media sink analogue [S:scrapy/pipelines/files.py::FilesPipeline.
     file_path]: deterministic media_ref = full/<sha256(media_url)> computed
@@ -861,27 +797,6 @@ def q_docs_simhash(spark, sf):
     return sums.select("doc_id", F.expr(bit_terms).alias("simhash"))
 
 
-def q_emb_ann_lsh(spark, sf):
-    """ANN scale path: random-hyperplane LSH — 16 sign bits from
-    deterministic ±1 hyperplanes (seeded by xxhash64 of (plane, dim)),
-    bucket = packed bits; returns bucket histograms. Rows-only check."""
-    e = _t(spark, sf, "embeddings")
-    planes = []
-    for p in range(16):
-        # deterministic ±1 plane: sign of xxhash64(p, dim_index)
-        expr = (f"aggregate(zip_with(embedding, sequence(0, 63), (x, i) -> "
-                f"CASE WHEN xxhash64({p}L, i) % 2 = 0 THEN x ELSE -x END), "
-                f"0D, (acc, v) -> acc + v)")
-        planes.append(F.when(F.expr(expr) > 0, 1).otherwise(0)
-                      .cast("long").alias(f"b{p}"))
-    bucketed = e.select("vec_id", "label", *planes)
-    bucket = sum(F.col(f"b{p}") * (1 << p) for p in range(16))
-    return (bucketed.withColumn("bucket", bucket.cast("long"))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n_vectors"),
-                 F.countDistinct("label").alias("n_labels")))
-
-
 QUERIES = {
     "frontier_topk": (q_frontier_topk, SQL_FRONTIER_TOPK),
     "frontier_dequeue": (q_frontier_dequeue, SQL_FRONTIER_DEQUEUE),
@@ -908,13 +823,16 @@ QUERIES = {
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
-    "emb_ann_ivf": (q_emb_ann_ivf, SQL_EMB_ANN_IVF),
+    "emb_ann_ivf": (sim.q_emb_ann_ivf, sim.SQL_EMB_ANN_IVF),
+    "emb_ann_lsh": (sim.q_emb_ann_lsh, sim.SQL_EMB_ANN_LSH),
+    "emb_near_dup_bucketed": (sim.q_emb_near_dup_bucketed,
+                              sim.SQL_EMB_NEAR_DUP_BUCKETED),
+    "dedup_clusters": (sim.q_dedup_clusters, sim.SQL_DEDUP_CLUSTERS),
     "docs_rolling_hash": (q_docs_rolling_hash, SQL_DOCS_ROLLING_HASH),
     "media_manifest": (q_media_manifest, SQL_MEDIA_MANIFEST),
     # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media)
     "docs_minhash_lsh": (q_docs_minhash_lsh, None),
     "docs_simhash": (q_docs_simhash, None),
-    "emb_ann_lsh": (q_emb_ann_lsh, None),
     "media_meta": (q_media_meta, None),
     "media_frames": (q_media_frames, None),
 }
