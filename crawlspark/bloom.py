@@ -70,23 +70,24 @@ def make_check_udf(spark, shard_bits: dict[int, bytes], cfg: CrawlConfig):
     same addressing, no driver collect)."""
     from pyspark.sql.functions import pandas_udf
 
-    arrays = {s: np.frombuffer(b, dtype=np.uint8) for s, b in shard_bits.items()}
-    bc = spark.sparkContext.broadcast(arrays)
+    # one dense (S, B/8) matrix so the check is pure numpy fancy-indexing —
+    # no per-row Python anywhere (missing shards stay all-zero = never seen)
+    mat = np.zeros((cfg.bloom_shards, cfg.bloom_bits_per_shard // 8),
+                   dtype=np.uint8)
+    for s, b in shard_bits.items():
+        mat[s] = np.frombuffer(b, dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(mat)
     k = cfg.bloom_hashes
 
     @pandas_udf("boolean")
     def maybe_seen(shard: pd.Series, *bits: pd.Series) -> pd.Series:
-        arrs = bc.value
-        sh = shard.to_numpy()
+        m = bc.value
+        sh = shard.to_numpy().astype(np.int64)
         out = np.ones(len(sh), dtype=bool)
         for j in range(k):
-            b = bits[j].to_numpy()
-            hit = np.empty(len(sh), dtype=bool)
-            for i in range(len(sh)):
-                a = arrs.get(int(sh[i]))
-                pos = int(b[i])
-                hit[i] = bool(a is not None and (a[pos >> 3] >> (pos & 7)) & 1)
-            out &= hit
+            pos = bits[j].to_numpy().astype(np.int64)
+            byte = m[sh, pos >> 3]
+            out &= ((byte >> (pos & 7)) & 1).astype(bool)
         return pd.Series(out, index=shard.index)
 
     return maybe_seen

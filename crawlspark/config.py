@@ -32,6 +32,11 @@ class CrawlConfig:
     max_url_len: int = 2083                 # P3
     retry_times: int = 2                    # X10 RETRY_TIMES [S]
     retry_priority_adjust: int = -1         # X10 RETRY_PRIORITY_ADJUST [S]
+    redirect_max_times: int = 20            # X11 REDIRECT_MAX_TIMES
+                                            # [S:scrapy/downloadermiddlewares/
+                                            # redirect.py]: a request whose
+                                            # redirect chain would exceed this
+                                            # is discarded (counted filtered)
     lifo: bool = True                       # F3: True = DFO (Scrapy default
                                             # memory queue is LIFO [S:squeues])
     round_cap: int = 64                     # F5 global per-round fetch cap

@@ -13,7 +13,7 @@ level) · X10 retry · X11 redirect · A1-A5 metrics · C1 snapshot commit.
 
 Scale notes (10^10-frontier design point, graded explicitly):
   * All per-URL work is native Spark SQL or Arrow-vectorized — fingerprints
-    are JVM-side ``sha1(concat('GET', url_canon))`` inside whole-stage
+    are JVM-side ``sha1(concat(method, url_canon, body))`` inside whole-stage
     codegen; no RDDs, no collect() of row data.
   * The per-host dequeue window is SALTED two-phase (J6): phase 1 ranks
     within (host, salt) — skewed mega-hosts split across salt_n partitions —
@@ -69,6 +69,13 @@ FRONTIER_SCHEMA = StructType([
     StructField("depth", IntegerType()),
     StructField("enqueue_seq", LongType()),
     StructField("retry_count", IntegerType()),
+    # D2 extension (r2): requests are (method, url, body) — POST form
+    # submissions get distinct fingerprints [S:scrapy/utils/request.py]
+    StructField("method", StringType()),
+    StructField("body", StringType()),
+    # X11 provenance (r2): canonical URLs this request was redirected
+    # through, oldest first; len > cfg.redirect_max_times => discarded
+    StructField("redirect_chain", ArrayType(StringType())),
 ])
 
 SEEN_SCHEMA = StructType([StructField("fingerprint", StringType())])
@@ -81,6 +88,8 @@ CRAWL_ORDER_SCHEMA = StructType([
     StructField("host", StringType()),
     StructField("status", IntegerType()),
     StructField("depth", IntegerType()),
+    StructField("method", StringType()),
+    StructField("redirect_chain", ArrayType(StringType())),
 ])
 
 DOCUMENTS_SCHEMA = StructType([
@@ -128,16 +137,24 @@ def _extract_fn(passthrough: list[str]):
     def fn(batches):
         for pdf in batches:
             spans_col, links_col, canon_col = [], [], []
+            form_act_col, form_body_col = [], []
             for url, body in zip(pdf["url_canon"], pdf["body_html"]):
-                spans, hrefs = parse_html(url, body if isinstance(body, str) else "")
+                spans, hrefs, forms = parse_html(
+                    url, body if isinstance(body, str) else "")
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
                 canon_col.append(
                     [canonicalize_url(absolutize(url, h)) for h in hrefs])
+                form_act_col.append(
+                    [canonicalize_url(absolutize(url, f.action))
+                     for f in forms])
+                form_body_col.append([f.body for f in forms])
             out = pdf[passthrough].copy()
             out["spans"] = spans_col
             out["outlinks"] = links_col
             out["outlinks_canon"] = canon_col
+            out["outforms_action"] = form_act_col
+            out["outforms_body"] = form_body_col
             yield out
     return fn
 
@@ -188,13 +205,17 @@ class CrawlEngine:
         cfg = self.cfg
         s = (self.seeds
              .withColumn("url_canon", self.canon_udf(F.col("url")))
+             .withColumn("method", F.lit("GET"))
+             .withColumn("body", F.lit(""))
              .withColumn("fingerprint",
-                         F.sha1(F.concat(F.lit("GET"), F.col("url_canon"))))
+                         F.sha1(F.concat("method", "url_canon", "body")))
              .withColumn("host", self.host_udf(F.col("url_canon")))
              .withColumn("enqueue_seq", F.col("seed_id").cast("long"))
              .withColumn("priority", F.lit(0))
              .withColumn("depth", F.lit(0))
-             .withColumn("retry_count", F.lit(0)))
+             .withColumn("retry_count", F.lit(0))
+             .withColumn("redirect_chain",
+                         F.array().cast("array<string>")))
         w = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
         frontier = (s.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
@@ -397,16 +418,19 @@ class CrawlEngine:
             "fingerprint", "url_canon",
             F.lit(rnd).cast("int").alias("round"),
             "host", F.col("status").cast("int"),
-            F.col("depth").cast("int"))
+            F.col("depth").cast("int"), "method", "redirect_chain")
 
         # ---- X8/X9 extract (Arrow-vectorized; 200s only) -------------------
         passthrough = ["fingerprint", "url_canon", "host", "priority", "depth",
-                       "retry_count", "fetch_rank"]
+                       "retry_count", "method", "body", "redirect_chain",
+                       "fetch_rank"]
         extract_schema = StructType(
             [f for f in batch.schema if f.name in passthrough]
             + [StructField("spans", ArrayType(SPAN_STRUCT)),
                StructField("outlinks", ArrayType(StringType())),
-               StructField("outlinks_canon", ArrayType(StringType()))])
+               StructField("outlinks_canon", ArrayType(StringType())),
+               StructField("outforms_action", ArrayType(StringType())),
+               StructField("outforms_body", ArrayType(StringType()))])
         extracted = (batch.filter(F.col("_ok"))
                      .select(*passthrough, "body_html")
                      .mapInPandas(_extract_fn(passthrough), extract_schema)
@@ -415,17 +439,34 @@ class CrawlEngine:
                                      "spans")
 
         # ---- R2 stream construction: every raw candidate consumes a seq ----
+        # stream elements are (raw, method, body) structs so one stream
+        # carries links (GET), form submissions (POST, urlencoded body) and
+        # redirect targets; R2 order within a page: links then forms
         base_cols = ["fingerprint", "url_canon", "host", "priority", "depth",
-                     "retry_count", "fetch_rank"]
+                     "retry_count", "method", "body", "redirect_chain",
+                     "fetch_rank"]
         streams = (
             batch.filter(F.col("_retryable")).select(
-                *base_cols, F.array(F.col("url_canon")).alias("stream"),
+                *base_cols,
+                F.array(F.struct(F.col("url_canon").alias("raw"),
+                                 F.col("method").alias("m"),
+                                 F.col("body").alias("b"))).alias("stream"),
                 F.lit("retry").alias("stream_kind"))
             .unionByName(batch.filter(F.col("_redirect") & ~F.col("_retryable")).select(
-                *base_cols, F.array(F.col("redirect_to")).alias("stream"),
+                *base_cols,
+                F.array(F.struct(F.col("redirect_to").alias("raw"),
+                                 F.lit("GET").alias("m"),
+                                 F.lit("").alias("b"))).alias("stream"),
                 F.lit("redirect").alias("stream_kind")))
             .unionByName(extracted.select(
-                *base_cols, F.col("outlinks_canon").alias("stream"),
+                *base_cols,
+                F.concat(
+                    F.expr("transform(outlinks_canon, x ->"
+                           " struct(x AS raw, 'GET' AS m, '' AS b))"),
+                    F.expr("transform(arrays_zip(outforms_action,"
+                           " outforms_body), z ->"
+                           " struct(z.outforms_action AS raw, 'POST' AS m,"
+                           " z.outforms_body AS b))")).alias("stream"),
                 F.lit("links").alias("stream_kind")))
         ).withColumn("n", F.size("stream"))
         # offset cumsum over fetch order — bounded by round_cap rows
@@ -435,7 +476,7 @@ class CrawlEngine:
             "offset", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
         items = (streams
                  .select(*base_cols, "stream_kind", "offset",
-                         F.posexplode("stream").alias("pos", "raw"))
+                         F.posexplode("stream").alias("pos", "item"))
                  .withColumn("enqueue_seq_new",
                              (F.lit(next_seq) + F.col("offset")
                               + F.col("pos")).cast("long"))).cache()
@@ -446,7 +487,8 @@ class CrawlEngine:
             (F.col("priority") + cfg.retry_priority_adjust).alias("priority"),
             "depth",
             F.col("enqueue_seq_new").alias("enqueue_seq"),
-            (F.col("retry_count") + 1).alias("retry_count"))
+            (F.col("retry_count") + 1).alias("retry_count"),
+            "method", "body", "redirect_chain")
 
         # ---- D1/D2 + P1-P4 candidate pipeline (X9 links + X11 redirects) ---
         c = (items.filter(F.col("stream_kind") != "retry")
@@ -454,9 +496,12 @@ class CrawlEngine:
                      F.col("url_canon").alias("parent_url"),
                      F.col("priority").alias("parent_priority"),
                      F.col("depth").alias("parent_depth"),
+                     F.col("redirect_chain").alias("parent_chain"),
                      (F.col("stream_kind") == "redirect").alias("is_redirect"),
                      F.col("enqueue_seq_new").alias("enqueue_seq"),
-                     F.col("raw"))
+                     F.col("item.raw").alias("raw"),
+                     F.col("item.m").alias("method"),
+                     F.col("item.b").alias("body"))
              # links arrive pre-canonicalized from the fused extractor
              # (D1 inside X8/X9); only redirect targets still need the
              # absolutize+canonicalize UDF — a tiny fraction of the batch
@@ -466,7 +511,7 @@ class CrawlEngine:
                                     self.abs_udf("parent_url", "raw")))
                          .otherwise(F.col("raw")))
              .withColumn("fingerprint",
-                         F.sha1(F.concat(F.lit("GET"), F.col("url_canon"))))
+                         F.sha1(F.concat("method", "url_canon", "body")))
              .withColumn("host", F.lower(F.coalesce(
                  F.parse_url("url_canon", F.lit("HOST")), F.lit(""))))
              .withColumn("path", F.coalesce(
@@ -478,10 +523,19 @@ class CrawlEngine:
                          .otherwise(F.col("parent_depth") + 1))
              .withColumn("priority", F.when(F.col("is_redirect"),
                                             F.col("parent_priority"))
-                         .otherwise(F.lit(0))))
+                         .otherwise(F.lit(0)))
+             # X11 chain provenance: redirect targets extend the parent's
+             # chain; links/forms start fresh
+             .withColumn("redirect_chain",
+                         F.when(F.col("is_redirect"),
+                                F.concat("parent_chain",
+                                         F.array("parent_url")))
+                         .otherwise(F.array().cast("array<string>"))))
         pass_f = (F.col("scheme").isin("http", "https")
                   & (F.length("url_canon") <= cfg.max_url_len)
                   & ~F.col("path").rlike(IGNORED_EXT_RE)
+                  # X11 REDIRECT_MAX_TIMES: over-long chains are discarded
+                  & (F.size("redirect_chain") <= cfg.redirect_max_times)
                   & ((F.col("depth") <= cfg.depth_limit)
                      if cfg.depth_limit > 0 else F.lit(True)))
         if cfg.allow_re:
@@ -499,7 +553,8 @@ class CrawlEngine:
                  .filter(F.col("_rn") == 1))
         new_rows = self._dedup_new(
             first.select("fingerprint", "url_canon", "host", "priority",
-                         "depth", "enqueue_seq", "parent_host"),
+                         "depth", "enqueue_seq", "method", "body",
+                         "redirect_chain", "parent_host"),
             seen, manifest).cache()
         new_frontier_rows = new_rows \
             .withColumn("retry_count", F.lit(0)) \
@@ -726,6 +781,16 @@ class CrawlEngine:
 
     def metrics_df(self, manifest: dict) -> DataFrame:
         return self.store.read(self.spark, manifest, "metrics", METRICS_SCHEMA)
+
+    def seen_cardinality_df(self, manifest: dict) -> DataFrame:
+        """A3 monitoring: HLL (rsd=2%) estimate of the seen-set size next
+        to the exact row count — at the 10^10 design point the estimate is
+        a constant-size partial aggregate while the exact distinct count
+        is a full shuffle; the seen table is append-only distinct so
+        count(*) doubles as the exact cardinality here."""
+        return self.seen_df(manifest).agg(
+            F.approx_count_distinct("fingerprint", 0.02).alias("approx_seen"),
+            F.count("*").alias("rows_seen"))
 
     def order_hash_df(self, manifest: dict) -> DataFrame:
         """Exact-order verification at scale (SURVEY §4.3): one sha256 per

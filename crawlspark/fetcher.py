@@ -35,9 +35,11 @@ FETCH_SCHEMA = StructType([
 ])
 
 
-def default_opener(url: str, timeout_s: float) -> tuple[int, str, str | None]:
-    """(status, body, redirect_location) via urllib. Real-cluster path;
-    unreachable in this sandbox (no network)."""
+def default_opener(url: str, timeout_s: float, method: str = "GET",
+                   body: str = "") -> tuple[int, str, str | None]:
+    """(status, body, redirect_location) via urllib; POST bodies are sent
+    urlencoded (FormRequest analogue). Real-cluster path; unreachable in
+    this sandbox (no network)."""
     import urllib.error
     import urllib.request
 
@@ -46,8 +48,10 @@ def default_opener(url: str, timeout_s: float) -> tuple[int, str, str | None]:
             return None
 
     opener = urllib.request.build_opener(_NoRedirect)
+    req = urllib.request.Request(
+        url, data=body.encode("utf-8") if body else None, method=method)
     try:
-        with opener.open(url, timeout=timeout_s) as resp:
+        with opener.open(req, timeout=timeout_s) as resp:
             return int(resp.status), resp.read().decode(
                 "utf-8", errors="replace"), None
     except urllib.error.HTTPError as e:
@@ -70,19 +74,23 @@ def http_fetch_batch(
     deterministic sequencing (R2) is preserved.
     """
     op = opener or default_opener
+    has_mb = {"method", "body"} <= set(batch.columns)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from concurrent.futures import ThreadPoolExecutor
         for pdf in batches:
             urls = list(pdf["url_canon"])
+            methods = list(pdf["method"]) if has_mb else ["GET"] * len(urls)
+            bodies = list(pdf["body"]) if has_mb else [""] * len(urls)
 
-            def one(url: str):
+            def one(args):
+                url, method, body = args
                 t0 = time.time()
-                status, body, loc = op(url, timeout_s)
-                return status, (time.time() - t0) * 1000.0, body, loc
+                status, rbody, loc = op(url, timeout_s, method, body)
+                return status, (time.time() - t0) * 1000.0, rbody, loc
 
             with ThreadPoolExecutor(max_workers=max_threads) as pool:
-                rows = list(pool.map(one, urls))
+                rows = list(pool.map(one, zip(urls, methods, bodies)))
             yield pd.DataFrame({
                 "url_canon": urls,
                 "status": pd.array([r[0] for r in rows], dtype="int32"),
@@ -91,4 +99,5 @@ def http_fetch_batch(
                 "redirect_to": [r[3] for r in rows],
             })
 
-    return batch.select("url_canon").mapInPandas(gen, FETCH_SCHEMA)
+    cols = ["url_canon", "method", "body"] if has_mb else ["url_canon"]
+    return batch.select(*cols).mapInPandas(gen, FETCH_SCHEMA)

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..kernels.canon import canonicalize_url, fingerprint_hex
-from ..kernels.parse import Span, media_ref_for, render_html
+from ..kernels.parse import Form, Span, media_ref_for, render_html
 
 MEGA_HOSTS = ["booking.test", "tripadvisor.test"]
 OFFSITE_HOSTS = ["facebook.test", "ads.tracker.test"]
@@ -54,6 +54,8 @@ PAGES_SCHEMA = pa.schema([
     ("body_html", pa.string()),
     ("body_spans", pa.list_(SPAN_T)),
     ("outlinks_raw", pa.list_(pa.string())),
+    ("outform_actions", pa.list_(pa.string())),   # golden raw form actions
+    ("outform_bodies", pa.list_(pa.string())),    # golden urlencoded bodies
 ])
 
 
@@ -190,10 +192,55 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                 hrefs.append(f"https://{h}/brochure/{rng.randrange(99)}.pdf")
             else:                                          # over-long (P3)
                 hrefs.append(f"https://{h}/l/" + "x" * 2200)
+        # the first mega-root links into the 301 chain (X11 cap fodder)
+        if is_root and h == MEGA_HOSTS[0]:
+            hrefs.append("/chain/0x")
+        # ~12% of non-root pages carry a POST search form (D2 method+body
+        # fingerprints; FormRequest analogue) whose action page is appended
+        # below — distinct fingerprint even when a GET to the same URL exists
+        forms: list[Form] = []
+        if not is_root and rng.random() < 0.12:
+            forms = [Form(f"/form/submit{path}",
+                          f"src={path}&lang={rng.choice(['en', 'fr'])}")]
         title = f"{h}{path}"
-        body = render_html(title, spans, hrefs, media_srcs)
+        body = render_html(title, spans, hrefs, media_srcs, forms)
         rows.append((u, h, path, status, redirect_to, succ, latency, title,
-                     body, [s._asdict() for s in spans], hrefs))
+                     body, [s._asdict() for s in spans], hrefs,
+                     [f.action for f in forms], [f.body for f in forms]))
+
+    # --- form-action result pages (fetched via POST; simple, no outlinks);
+    # keyed dedupe: pages differing only in query share an action URL
+    extra: dict[str, tuple] = {}
+    for row in rows:
+        for action in row[11]:
+            au = canonicalize_url(f"https://{row[1]}{action}")
+            if au in extra:
+                continue
+            sp = [Span("text", f"form result for {action}", None, 0)]
+            extra[au] = (au, row[1], action, 200, None, None,
+                         20.0 + (int(fingerprint_hex(au)[:6], 16) % 2000) / 10.0,
+                         f"{row[1]}{action}",
+                         render_html(f"{row[1]}{action}", sp, [], []),
+                         [s._asdict() for s in sp], [], [], [])
+    rows.extend(extra.values())
+
+    # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
+    # REDIRECT_MAX_TIMES=20 (the seen-set alone would never cut it)
+    ch = MEGA_HOSTS[0]
+    # paths end in 'x' so a host's random REP wildcard rules (/*7$) can
+    # never robots-block a hop and mask the cap behavior
+    chain_urls = [canonicalize_url(f"https://{ch}/chain/{i}x")
+                  for i in range(25)]
+    for i, cu in enumerate(chain_urls):
+        last = i == len(chain_urls) - 1
+        sp = [Span("text", f"chain end {i}", None, 0)] if last else []
+        rows.append((cu, ch, f"/chain/{i}x",
+                     200 if last else 301,
+                     None if last else chain_urls[i + 1], None,
+                     20.0 + (int(fingerprint_hex(cu)[:6], 16) % 2000) / 10.0,
+                     f"{ch}/chain/{i}x",
+                     render_html(f"{ch}/chain/{i}x", sp, [], []),
+                     [s._asdict() for s in sp], [], [], []))
 
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 

@@ -97,9 +97,16 @@ def absolutize(base_url: str, href: str) -> str:
     return urljoin(base_url, href.strip())
 
 
-def fingerprint_hex(url_canon: str) -> str:
-    """sha1('GET' || canonical_url) lowercase hex (SURVEY §3.4 R6)."""
-    return hashlib.sha1(b"GET" + url_canon.encode("utf-8")).hexdigest()
+def fingerprint_hex(url_canon: str, method: str = "GET",
+                    body: str = "") -> str:
+    """sha1(method || canonical_url || body) lowercase hex (SURVEY §3.4 R6,
+    extended r2 to non-GET per
+    [S:scrapy/utils/request.py::fingerprint] which hashes method+URL+body).
+    GET with empty body degenerates to the r1 sha1('GET' || url) goldens.
+    Engine-native twin: ``sha1(concat(method, url_canon, body))``."""
+    return hashlib.sha1(
+        method.encode("ascii") + url_canon.encode("utf-8")
+        + body.encode("utf-8")).hexdigest()
 
 
 def url_host(url: str) -> str:

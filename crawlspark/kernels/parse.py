@@ -34,6 +34,15 @@ class Span(NamedTuple):
     offset: int          # 0-based dense position in document order
 
 
+class Form(NamedTuple):
+    """A POST form discovered on a page (X9 extension, r2): raw action URL
+    plus the urlencoded body built from the inputs in document order —
+    Scrapy's FormRequest.from_response analogue
+    [S:scrapy/http/request/form.py]."""
+    action: str          # raw (un-absolutized) action URL
+    body: str            # urlencoded field payload, input document order
+
+
 def media_ref_for(base_url: str, src: str) -> str:
     """full/<sha1(canonical absolute media url)> — deterministic media path."""
     canon = canonicalize_url(absolutize(base_url, src))
@@ -41,9 +50,11 @@ def media_ref_for(base_url: str, src: str) -> str:
 
 
 def render_html(title: str, spans: list[Span], hrefs: list[str],
-                media_srcs: list[str]) -> str:
+                media_srcs: list[str],
+                forms: list[Form] = ()) -> str:
     """Render the fixture page. ``media_srcs[i]`` is the raw src of the i-th
-    media span (spans store only the derived media_ref)."""
+    media span (spans store only the derived media_ref). Forms render after
+    the link list, one hidden input per urlencoded field."""
     out = [f"<html><head><title>{_html.escape(title)}</title></head><body>"]
     m = 0
     for s in spans:
@@ -55,20 +66,35 @@ def render_html(title: str, spans: list[Span], hrefs: list[str],
     out.append("<ul>")
     for h in hrefs:
         out.append(f'<li><a href="{_html.escape(h)}">l</a></li>')
-    out.append("</ul></body></html>")
+    out.append("</ul>")
+    for f in forms:
+        out.append(f'<form action="{_html.escape(f.action)}" method="post">')
+        for kv in f.body.split("&") if f.body else []:
+            k, _, v = kv.partition("=")
+            out.append(f'<input name="{_html.escape(k)}" '
+                       f'value="{_html.escape(v)}"/>')
+        out.append("</form>")
+    out.append("</body></html>")
     return "".join(out)
 
 
 _SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"/>", re.S)
 _HREF_RE = re.compile(r"<a href=\"([^\"]*)\">")
+_FORM_RE = re.compile(r"<form action=\"([^\"]*)\" method=\"post\">(.*?)</form>",
+                      re.S)
+_INPUT_RE = re.compile(r"<input name=\"([^\"]*)\" value=\"([^\"]*)\"/>")
 
 
-def parse_html(base_url: str, body: str) -> tuple[list[Span], list[str]]:
-    """Extract (spans in document order, raw hrefs in discovery order).
+def parse_html(base_url: str,
+               body: str) -> tuple[list[Span], list[str], list[Form]]:
+    """Extract (spans in document order, raw hrefs in discovery order,
+    POST forms in document order).
 
-    hrefs are returned RAW (un-absolutized, un-canonicalized) — the engine's
-    link pipeline (D1/D2 + P1–P4) owns normalization, mirroring Scrapy where
-    LinkExtractor absolutizes but fingerprinting canonicalizes [S].
+    hrefs/actions are returned RAW (un-absolutized, un-canonicalized) — the
+    engine's link pipeline (D1/D2 + P1–P4) owns normalization, mirroring
+    Scrapy where LinkExtractor absolutizes but fingerprinting
+    canonicalizes [S]. Discovery-order contract (R2): links first, then
+    forms — both in their own document order.
     """
     spans: list[Span] = []
     for i, m in enumerate(_SPAN_RE.finditer(body)):
@@ -80,4 +106,10 @@ def parse_html(base_url: str, body: str) -> tuple[list[Span], list[str]]:
                 Span("media", None, media_ref_for(base_url, _html.unescape(src)), i)
             )
     hrefs = [_html.unescape(h) for h in _HREF_RE.findall(body)]
-    return spans, hrefs
+    forms = [
+        Form(_html.unescape(action),
+             "&".join(f"{_html.unescape(k)}={_html.unescape(v)}"
+                      for k, v in _INPUT_RE.findall(inner)))
+        for action, inner in _FORM_RE.findall(body)
+    ]
+    return spans, hrefs, forms

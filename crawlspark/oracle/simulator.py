@@ -49,7 +49,7 @@ import pandas as pd
 
 from ..config import RETRY_CODES, IGNORED_EXT_RE, CrawlConfig
 from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
-from ..kernels.parse import parse_html
+from ..kernels.parse import Form, parse_html
 from ..kernels.robots import robots_allowed
 from urllib.parse import urlsplit
 
@@ -65,6 +65,9 @@ class _Req:
     depth: int
     seq: int
     retry_count: int = 0
+    method: str = "GET"
+    body: str = ""
+    chain: tuple[str, ...] = ()   # X11 redirect provenance, oldest first
 
 
 @dataclass
@@ -211,6 +214,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 "rank": rank, "fingerprint": req.fingerprint,
                 "url_canon": req.url_canon, "round": rnd, "host": req.host,
                 "status": status, "depth": req.depth,
+                "method": req.method, "redirect_chain": list(req.chain),
             })
             total_fetched += 1
             mc(req.host, "fetched")
@@ -226,9 +230,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 stream = [page.redirect_to]
             elif status == 200 and page is not None:
                 mc(req.host, "ok")
-                spans, hrefs = parse_html(req.url_canon, page.body_html)
+                spans, hrefs, forms = parse_html(req.url_canon,
+                                                 page.body_html)
                 res.documents[req.fingerprint] = [s._asdict() for s in spans]
-                stream = hrefs
+                stream = hrefs + forms   # R2: links first, then forms
             else:
                 mc(req.host, "errors")
 
@@ -241,32 +246,42 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     pending[req.fingerprint] = _Req(
                         req.fingerprint, req.url_canon, req.host,
                         req.priority + cfg.retry_priority_adjust, req.depth,
-                        seq, req.retry_count + 1)
+                        seq, req.retry_count + 1,
+                        req.method, req.body, req.chain)
                     mc(req.host, "retried")
                     continue
-                canon = canonicalize_url(absolutize(req.url_canon, item))
+                if isinstance(item, Form):
+                    method, body, raw = "POST", item.body, item.action
+                else:
+                    method, body, raw = "GET", "", item
+                canon = canonicalize_url(absolutize(req.url_canon, raw))
                 sp = urlsplit(canon)
                 host = (sp.hostname or "").lower()
                 path = sp.path or "/"
                 depth = req.depth if is_redirect else req.depth + 1
-                # P3 scheme/len/ext, P4 allow/deny, P1 offsite, P2 depth
+                # X11: redirect targets extend the chain; links/forms reset
+                chain = req.chain + (req.url_canon,) if is_redirect else ()
+                # P3 scheme/len/ext, P4 allow/deny, P1 offsite, P2 depth,
+                # X11 REDIRECT_MAX_TIMES chain cap
                 if (sp.scheme not in ("http", "https")
                         or len(canon) > cfg.max_url_len
                         or ignored_ext.search(path)
                         or (allow_re and not allow_re.search(canon))
                         or (deny_re and deny_re.search(canon))
                         or not _suffix_match(host, cfg.allowed_domains)
+                        or len(chain) > cfg.redirect_max_times
                         or (cfg.depth_limit > 0
                             and depth > cfg.depth_limit)):
                     mc(req.host, "filtered")
                     continue
-                fp = fingerprint_hex(canon)
+                fp = fingerprint_hex(canon, method, body)
                 if fp in res.seen:                      # R3
                     mc(req.host, "deduped")
                     continue
                 res.seen.add(fp)
                 prio = req.priority if is_redirect else 0
-                pending[fp] = _Req(fp, canon, host, prio, depth, seq)
+                pending[fp] = _Req(fp, canon, host, prio, depth, seq,
+                                   0, method, body, chain)
                 mc(req.host, "enqueued")
 
         # ---- carry + AutoThrottle update for hosts with eligible candidates

@@ -707,6 +707,20 @@ FROM documents
 # non-SQL-expressible ops (rows-only driver check; own pytest oracles)
 # ---------------------------------------------------------------------
 
+def q_events_hll(spark, sf):
+    """A3 HLL monitoring surface: approx_count_distinct (HyperLogLog++,
+    rsd=2%) next to the exact distinct count per event_type — the
+    cardinality probe a 10^10-row seen table is monitored with (the exact
+    count is a full shuffle; the HLL sketch is a constant-size partial
+    aggregate). Rows-only driver check (sketch estimates are
+    engine-specific); tests/test_queries_duckdb.py pins the relative
+    error <= 5% against the exact count."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02)
+                 .alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
 def q_media_meta(spark, sf):
     """Multimodal plumbing end-to-end: media_ref -> opaque binary payload ->
     Arrow-batched fake decode (crawlspark.multimodal) -> typed metadata agg.
@@ -746,7 +760,7 @@ def q_docs_minhash_lsh(spark, sf):
     """MinHash-LSH near-dup candidates: 16 permutations via seeded xxhash64,
     4 bands × 4 rows; pairs sharing a band bucket. Rows-only check (DuckDB
     has no xxhash64); self-consistency is pytest-verified: candidates ⊇
-    exact duplicates (tests/test_queries.py)."""
+    exact duplicates (tests/test_queries_duckdb.py)."""
     d = _t(spark, sf, "documents")
     sh = (d.withColumn("w", F.split(F.trim("text"), "\\s+"))
           .filter(F.size("w") >= 3)
@@ -830,7 +844,9 @@ QUERIES = {
     "dedup_clusters": (sim.q_dedup_clusters, sim.SQL_DEDUP_CLUSTERS),
     "docs_rolling_hash": (q_docs_rolling_hash, SQL_DOCS_ROLLING_HASH),
     "media_manifest": (q_media_manifest, SQL_MEDIA_MANIFEST),
-    # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media)
+    # rows-only (non-SQL-expressible: xxhash64-based sketches, binary media,
+    # engine-specific HLL estimates)
+    "events_hll": (q_events_hll, None),
     "docs_minhash_lsh": (q_docs_minhash_lsh, None),
     "docs_simhash": (q_docs_simhash, None),
     "media_meta": (q_media_meta, None),

@@ -6,7 +6,7 @@ pure-Python oracle on the same fixture graph and config
 import pandas as pd
 
 ORDER_COLS = ["rank", "fingerprint", "url_canon", "round", "host",
-              "status", "depth"]
+              "status", "depth", "method", "redirect_chain"]
 
 
 def test_crawl_order_exact(engine_run, oracle_result):
@@ -14,7 +14,11 @@ def test_crawl_order_exact(engine_run, oracle_result):
     got = (eng.crawl_order_df(manifest).orderBy("rank").toPandas()[ORDER_COLS]
            .reset_index(drop=True))
     want = pd.DataFrame(oracle_result.crawl_order)[ORDER_COLS] \
-        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+        .reset_index(drop=True)
+    # array column -> hashable/comparable form on both sides
+    got["redirect_chain"] = got["redirect_chain"].map(tuple)
+    want["redirect_chain"] = want["redirect_chain"].map(tuple)
+    want = want.astype(got.dtypes.to_dict())
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want)
 
@@ -28,6 +32,16 @@ def test_crawl_covers_failure_modes(oracle_result):
     m = pd.DataFrame(oracle_result.metrics)
     for k in ("retried", "deduped", "filtered", "robots_blocked", "redirects"):
         assert m[k].sum() > 0, k
+    # D2 extension: POST form submissions are fetched with distinct
+    # fingerprints; X11: the 25-hop 301 chain is cut at exactly
+    # REDIRECT_MAX_TIMES=20 redirects
+    methods = {r["method"] for r in oracle_result.crawl_order}
+    assert methods == {"GET", "POST"}
+    chain_lens = [len(r["redirect_chain"]) for r in oracle_result.crawl_order]
+    assert max(chain_lens) == 20
+    fetched_urls = {r["url_canon"] for r in oracle_result.crawl_order}
+    assert "https://booking.test/chain/20x" in fetched_urls
+    assert "https://booking.test/chain/21x" not in fetched_urls
 
 
 def test_seen_set_exact(engine_run, oracle_result):
@@ -103,3 +117,13 @@ def test_order_hash_chunks_match_oracle(engine_run, oracle_result):
     want = {rnd: (hashlib.sha256(",".join(fps).encode()).hexdigest(), len(fps))
             for rnd, fps in by_round.items()}
     assert got == want
+
+
+def test_seen_cardinality_hll(engine_run, oracle_result):
+    """A3: the HLL seen-set estimate is within 5% of the oracle's exact
+    seen-set size."""
+    eng, manifest = engine_run
+    row = eng.seen_cardinality_df(manifest).collect()[0]
+    exact = len(oracle_result.seen)
+    assert row.rows_seen == exact
+    assert abs(row.approx_seen - exact) <= max(1, 0.05 * exact)

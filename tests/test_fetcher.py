@@ -12,12 +12,13 @@ from crawlspark import fetcher
 def make_fake_opener():
     # local def: cloudpickle serializes it BY VALUE, so executors don't
     # need the tests/ dir on their import path
-    def fake_opener(url: str, timeout_s: float):
+    def fake_opener(url: str, timeout_s: float, method: str = "GET",
+                    body: str = ""):
         if url.endswith("/redir"):
             return 301, "", url.replace("/redir", "/target")
         if url.endswith("/boom"):
             return 503, "", None
-        return 200, f"<html><p>{url}</p></html>", None
+        return 200, f"<html><p>{method} {url} {body}</p></html>", None
     return fake_opener
 
 
@@ -55,3 +56,15 @@ def test_row_order_preserved_within_partition(spark):
     out = [r["url_canon"] for r in
            fetcher.http_fetch_batch(batch, opener=make_fake_opener()).collect()]
     assert out == [u for (u,) in urls]
+
+
+def test_post_method_and_body_passthrough(spark):
+    batch = spark.createDataFrame(
+        [("https://h.test/form", "POST", "q=a&b=c"),
+         ("https://h.test/page", "GET", "")],
+        "url_canon string, method string, body string").coalesce(1)
+    rows = {r["url_canon"]: r for r in
+            fetcher.http_fetch_batch(batch, opener=make_fake_opener()).collect()}
+    assert "POST https://h.test/form q=a&b=c" in \
+        rows["https://h.test/form"]["body_html"]
+    assert "GET https://h.test/page" in rows["https://h.test/page"]["body_html"]

@@ -2,20 +2,27 @@
 (BASELINE.json:"input_hint" — span-sequence equality on
 (kind, text, media_ref, order) per doc) and link discovery order."""
 
-from crawlspark.kernels.parse import Span, media_ref_for, parse_html, render_html
+from crawlspark.kernels.parse import (
+    Form, Span, media_ref_for, parse_html, render_html,
+)
 
 
 def test_roundtrip_all_fixture_pages(fixture_pdfs):
-    """parse_html(body_html) must reproduce the golden body_spans and
-    outlinks_raw for EVERY fixture page — kind/text/media_ref/offset exact."""
+    """parse_html(body_html) must reproduce the golden body_spans,
+    outlinks_raw AND outform_* for EVERY fixture page."""
     pages = fixture_pdfs["pages"]
+    n_forms = 0
     for _, row in pages.iterrows():
-        spans, hrefs = parse_html(row.url_canon, row.body_html)
+        spans, hrefs, forms = parse_html(row.url_canon, row.body_html)
         got = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
         want = [(d["kind"], d["text"], d["media_ref"], d["offset"])
                 for d in row.body_spans]
         assert got == want, row.url_canon
         assert hrefs == list(row.outlinks_raw), row.url_canon
+        assert [f.action for f in forms] == list(row.outform_actions)
+        assert [f.body for f in forms] == list(row.outform_bodies)
+        n_forms += len(forms)
+    assert n_forms > 0   # the fixture must actually exercise POST forms
 
 
 def test_offsets_dense(fixture_pdfs):
@@ -38,11 +45,13 @@ def test_escaping_roundtrip():
     mr = media_ref_for("https://h.test/p", "/i.jpg?a=1&b=2")
     spans = [Span("text", 'a<b>&"quo" café ★', None, 0),
              Span("media", None, mr, 1)]
+    forms = [Form('/sub?x=<1>', 'q=a b&n=caf\u00e9&z=')]
     html = render_html("t&t", spans, ['/x?a=1&b=2#f', 'mailto:a@b'],
-                       ["/i.jpg?a=1&b=2"])
-    sp, hr = parse_html("https://h.test/p", html)
+                       ["/i.jpg?a=1&b=2"], forms)
+    sp, hr, fr = parse_html("https://h.test/p", html)
     assert [tuple(s) for s in sp] == [tuple(s) for s in spans]
     assert hr == ['/x?a=1&b=2#f', 'mailto:a@b']
+    assert fr == forms
 
 
 def test_media_ref_is_sha1_of_canonical_absolute_url():

@@ -91,3 +91,13 @@ def test_entry_smoke(spark):
     df = ent.entry(spark)
     assert df.count() > 0
     assert set(ent.oracle_sql()) <= set(ent.queries())
+
+
+def test_events_hll_error_bound(spark):
+    """A3 HLL contract: the HyperLogLog++ estimate is within 5% of the
+    exact distinct count for every group (rsd=2% sketch)."""
+    fn, _ = QUERIES["events_hll"]
+    for r in fn(spark, SF_DIR).collect():
+        assert abs(r.approx_users - r.exact_users) <= \
+            max(1, 0.05 * r.exact_users), (r.event_type, r.approx_users,
+                                           r.exact_users)
