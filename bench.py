@@ -29,7 +29,8 @@ HEADLINE = [
     "frontier_dequeue", "frontier_topk", "pricing_summary",
     "revenue_by_nation", "window_lag", "tumbling_hourly", "seen_anti_join",
     "docs_token_stats", "docs_ngram_pairs", "docs_minhash_lsh",
-    "emb_cosine_topk", "emb_ann_lsh", "emb_ann_ivf", "event_sessions",
+    "docs_simhash", "emb_cosine_topk", "emb_ann_lsh", "emb_ann_ivf",
+    "emb_near_dup_bucketed", "dedup_clusters", "event_sessions",
 ]
 
 
@@ -54,8 +55,10 @@ def bench_crawl(spark, sf: float, rounds: int) -> dict:
         allowed_domains=("example-hotels.test", "example-restaurants.test",
                          *MEGA_HOSTS),
         round_cap=8192, default_crawl_delay_s=0.02, max_rounds=rounds)
+    # v2: fixture gained POST forms + the 25-hop 301 chain (stale caches
+    # from earlier rounds must not be reused)
     fx_dir = os.path.join(tempfile.gettempdir(),
-                          f"crawlspark_bench_fx_{n_pages}")
+                          f"crawlspark_bench_fx_v2_{n_pages}")
     if not os.path.isdir(fx_dir):
         write_fixture(fx_dir, n_pages=n_pages, seed=42, config=cfg)
     # tiny rounds: AQE's per-stage replanning costs more than it saves

@@ -187,10 +187,10 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 # IVF assignment (shared by multiprobe ANN and bucketed near-dup)
 # ---------------------------------------------------------------------
 
-def _ivf_assign(e: DataFrame, k: int) -> DataFrame:
+def _ivf_assign(e: DataFrame, k: int, nlist: int = IVF_NLIST) -> DataFrame:
     """Top-k centroid assignment; centroids are the vec_id<nlist vectors
     (deterministic — production would plug k-means centroids in here)."""
-    cents = e.filter(F.col("vec_id") < IVF_NLIST).select(
+    cents = e.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                              F.col("cent_id").asc())
@@ -266,28 +266,46 @@ ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
 # Bucketed near-dup + connected-components cluster resolution
 # ---------------------------------------------------------------------
 
+def _near_dup_nlist(n: int) -> int:
+    """Cells scale with corpus size (16 per 500 vectors) so candidate
+    volume stays ~n^2/nlist with bounded cell occupancy; 16 exactly at the
+    recall-measured fixture sizes (n<=500), mirrored by a scalar subquery
+    in the DuckDB oracle."""
+    return 16 * max(1, -(-n // 500))
+
+
 def q_emb_near_dup_bucketed(spark, sf):
     """Near-dup pairs without the cartesian: candidates share >=1 IVF cell
-    under top-IVF_ASSIGN multi-assignment (equi-join on cent_id), then exact-cosine
-    verification at the same threshold as the all-pairs baseline
-    ``emb_near_dup`` (which stays as the recall oracle in tests)."""
+    under top-IVF_ASSIGN multi-assignment (equi-join on cent_id), then
+    exact-cosine verification at the same threshold as the all-pairs
+    baseline ``emb_near_dup`` (which stays as the recall oracle in tests).
+
+    Shuffle shape: the candidate self-join carries ONLY (vec_id, cent_id)
+    int pairs — embeddings re-attach via two broadcast joins after pair
+    dedup, so payload bytes never replicate through the candidate
+    shuffle (at sf0.1 this is ~15x faster than carrying the arrays)."""
     e = _emb(spark, sf)
-    a2 = _ivf_assign(e, IVF_ASSIGN).select("vec_id", "emb", "cent_id")
+    nlist = _near_dup_nlist(e.count())
+    a2 = _ivf_assign(e, IVF_ASSIGN, nlist).select("vec_id", "cent_id")
     pairs = (a2.alias("a").join(a2.alias("b"), "cent_id")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))
              .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("a.emb").alias("emb_a"),
-                     F.col("b.vec_id").alias("vec_b"),
-                     F.col("b.emb").alias("emb_b"))
-             .dropDuplicates(["vec_a", "vec_b"]))
-    return (pairs.withColumn("cosine", _cos("emb_a", "emb_b"))
+                     F.col("b.vec_id").alias("vec_b"))
+             .distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (pairs.join(F.broadcast(ea), "vec_a")
+            .join(F.broadcast(eb), "vec_b")
+            .withColumn("cosine", _cos("emb_a", "emb_b"))
             .filter(F.col("cosine") >= NEAR_DUP_COS)
             .select("vec_a", "vec_b",
                     F.round("cosine", 6).alias("cosine")))
 
 
+_NLIST_SQL = "(SELECT 16 * CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) FROM e)"
+
 _SQL_NEAR_DUP_CAND = f"""
-{_SQL_IVF_ASSIGN.format(nlist=IVF_NLIST, k=IVF_ASSIGN)},
+{_SQL_IVF_ASSIGN.format(nlist=_NLIST_SQL, k=IVF_ASSIGN)},
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM assign a JOIN assign b ON a.cent_id = b.cent_id
