@@ -192,6 +192,17 @@ class CrawlEngine:
         self.canon_udf, self.abs_udf, self.host_udf = make_udfs()
         self.robots_udf = make_robots_udf()
         self._offsite_re = _offsite_regex(cfg.allowed_domains)
+        # Size shuffle partitions to the ROUND (bounded by round_cap), not
+        # the cluster: a round shuffles <= round_cap URL rows + their
+        # candidates, and 32 near-empty tasks per shuffle cost more in
+        # scheduling than they win in parallelism (measured 24% on the 10k
+        # bench: 35.6s -> 27.2s at round_cap=8192 going 32 -> 8). On a real
+        # cluster round_cap is ~10^6 and this formula scales the partition
+        # count back up; defaultParallelism stays the ceiling.
+        par = spark.sparkContext.defaultParallelism
+        self._round_shuffle = max(4, min(par, cfg.round_cap // 1024))
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(self._round_shuffle))
         # driver-side cache of the bloom-shard bytes for the committed round
         # (saves one collect per round; O(shards * bits/8) driver RAM — at
         # the 10^10 design point keep use_driver_shard_cache off and let the
@@ -556,6 +567,17 @@ class CrawlEngine:
                          "depth", "enqueue_seq", "method", "body",
                          "redirect_chain", "parent_host"),
             seen, manifest).cache()
+        # Materialize the deep shared cache chain (elig -> batch ->
+        # extracted -> items -> c -> new_rows) exactly once, in a
+        # BACKGROUND driver thread: every sink below is pure plan
+        # construction (py4j + Catalyst analysis, no jobs), so ~1 s of
+        # driver work overlaps the JVM compute instead of following it.
+        # Writes still wait on the future — racing a write against the
+        # in-flight cache materialization would recompute partitions.
+        _t = {"t0": time.time()}
+        _mat_pool = ThreadPoolExecutor(max_workers=1)
+        _mat = _mat_pool.submit(new_rows.count)
+
         new_frontier_rows = new_rows \
             .withColumn("retry_count", F.lit(0)) \
             .select(*[f.name for f in FRONTIER_SCHEMA])
@@ -605,24 +627,28 @@ class CrawlEngine:
         host_state_next = host_state.join(host_round, "host", "left_anti") \
             .unionByName(carry_new)
 
-        # ---- A1-A5 metrics per (round, host): one agg per cached stage ------
-        _i = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
-        m_fetch = batch.groupBy("host").agg(
-            F.count("*").alias("fetched"),
-            _i(F.col("_ok")).alias("ok"),
-            _i(~F.col("_ok") & ~(F.col("_redirect") & ~F.col("_retryable")))
+        # ---- A1-A5 metrics per (round, host): ONE shuffle ------------------
+        # indicator projections over the cached stages, unioned RAW and
+        # summed in a single groupBy — one exchange instead of five (the
+        # pre-r2 shape pre-aggregated each source separately; per-round the
+        # union is a few thousand rows, so partial map-side combine makes
+        # the single shuffle strictly cheaper than five tiny ones)
+        _b = lambda cond: cond.cast("int")  # noqa: E731
+        m_fetch = batch.select(
+            "host", F.lit(1).alias("fetched"),
+            _b(F.col("_ok")).alias("ok"),
+            _b(~F.col("_ok") & ~(F.col("_redirect") & ~F.col("_retryable")))
             .alias("errors"),
-            _i(F.col("_redirect") & ~F.col("_retryable")).alias("redirects"))
-        m_items = items.groupBy("host").agg(
-            F.count("*").alias("discovered"),
-            _i(F.col("stream_kind") == "retry").alias("retried"))
-        m_cand = c.groupBy(F.col("parent_host").alias("host")).agg(
-            _i(~F.col("_pass")).alias("filtered"),
-            _i(F.col("_pass")).alias("_passed"))
-        m_new = new_rows.groupBy(F.col("parent_host").alias("host")).agg(
-            F.count("*").alias("enqueued"))
-        # single-shuffle combine: union the per-source partial aggs (sparse
-        # columns) and sum per host — replaces a chain of 4 full-outer joins
+            _b(F.col("_redirect") & ~F.col("_retryable")).alias("redirects"))
+        m_items = items.select(
+            "host", F.lit(1).alias("discovered"),
+            _b(F.col("stream_kind") == "retry").alias("retried"))
+        m_cand = c.select(
+            F.col("parent_host").alias("host"),
+            _b(~F.col("_pass")).alias("filtered"),
+            _b(F.col("_pass")).alias("_passed"))
+        m_new = new_rows.select(
+            F.col("parent_host").alias("host"), F.lit(1).alias("enqueued"))
         parts = m_fetch.unionByName(m_items, allowMissingColumns=True) \
             .unionByName(m_cand, allowMissingColumns=True) \
             .unionByName(m_new, allowMissingColumns=True) \
@@ -654,12 +680,11 @@ class CrawlEngine:
                            F.col("rows").cast("long")))
 
         # ---- C1 snapshot commit ---------------------------------------------
-        # One cheap action materializes the deep shared cache chain
-        # (elig -> batch -> extracted -> items -> c -> new_rows) exactly once;
-        # every sink below is then a shallow projection over cached data.
-        # phase timings land in self.last_timings (bench/diagnostics)
-        _t = {"t0": time.time()}
-        new_rows.count()
+        # join the background materialization; every sink below is now a
+        # shallow projection over cached data. Phase timings land in
+        # self.last_timings (bench/diagnostics).
+        _mat.result()
+        _mat_pool.shutdown(wait=False)
         _t["materialize"] = time.time() - _t["t0"]
 
         # All table writes go to distinct round-versioned directories and are
