@@ -99,6 +99,10 @@ def _kernel_frames(spark, fx: str, rep: int):
                          StructField("spans", ArrayType(SPAN_STRUCT)),
                          StructField("outlinks", ArrayType(StringType())),
                          StructField("outlinks_canon",
+                                     ArrayType(StringType())),
+                         StructField("outforms_action",
+                                     ArrayType(StringType())),
+                         StructField("outforms_body",
                                      ArrayType(StringType()))])
     extracted = big.select("url_canon", "body_html") \
         .mapInPandas(_extract_fn(["url_canon"]), schema)
@@ -203,6 +207,39 @@ def _burn(seconds: float) -> int:
     return x
 
 
+def _bw_burn(seconds: float) -> int:
+    """Memory-bandwidth burn: bytes moved by repeated 128 MB copies."""
+    import numpy as np
+    src = np.frombuffer(np.random.bytes(128 * 1024 * 1024), dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(dst, src)
+        n += 1
+    return n * len(src) * 2
+
+
+def calibrate_bandwidth(widths: tuple[int, ...], seconds: float = 2.0,
+                        trials: int = 2) -> dict[int, float]:
+    """Aggregate memory bandwidth (GB/s) by process count. The tight-loop
+    CPU burn is cache-resident and blind to the memory subsystem; Spark's
+    parse/shuffle path is partly bandwidth-bound, so BOTH ceilings bound
+    what is measurable on one box (a real cluster brings 4N x bandwidth
+    with 4N executors)."""
+    import multiprocessing as mp
+    out = {}
+    for n in widths:
+        best = 0.0
+        for _ in range(trials):
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                tot = sum(p.map(_bw_burn, [seconds] * n))
+                best = max(best, tot / (time.time() - t0))
+        out[n] = best / 1e9
+    return out
+
+
 def calibrate(widths: tuple[int, ...], seconds: float = 2.0,
               trials: int = 3) -> dict[int, float]:
     """Effective parallel CPU capacity of this box (pure-python burn, no
@@ -264,6 +301,9 @@ def main() -> int:
     ap.add_argument("--trials", type=int,
                     default=int(os.environ.get("CRAWLSPARK_SCALING_TRIALS",
                                                "3")))
+    ap.add_argument("--modes", default="compute,kernel,crawl",
+                    help="comma list of tiers to (re)measure; others keep "
+                         "their previously recorded results")
     args = ap.parse_args()
     if args.worker:
         worker(args)
@@ -275,18 +315,26 @@ def main() -> int:
     calib = calibrate((4, 8, 16, 32))
     hw_eff = {f"{lo}->{hi}": round(calib[hi] / (4 * calib[lo]), 3)
               for lo, hi in ((4, 16), (8, 32))}
-    print(f"hardware ceiling (N->4N efficiency): {hw_eff}", flush=True)
+    print(f"CPU ceiling (N->4N efficiency): {hw_eff}", flush=True)
+    bw = calibrate_bandwidth((4, 8, 16, 32))
+    bw_eff = {f"{lo}->{hi}": round(bw[hi] / (4 * bw[lo]), 3)
+              for lo, hi in ((4, 16), (8, 32))}
+    print(f"memory-bandwidth GB/s: { {k: round(v,1) for k,v in bw.items()} }"
+          f" (N->4N efficiency: {bw_eff})", flush=True)
 
     # (mode, n_pages, N, 4N, trials) — trials interleaved lo/hi so host
     # drift hits both levels equally; compute/kernel use the small base
     # graph (bigger inputs make the dedup exchange disk-bound, see
     # BENCH/BASELINE.md)
     kp = args.kernel_pages
-    pairs = [("compute", kp, 4, 16, args.trials),
-             ("compute", kp, 8, 32, args.trials),
-             ("kernel", kp, 4, 16, args.trials),
-             ("kernel", kp, 8, 32, args.trials),
-             ("crawl", args.n_pages, 8, 32, max(2, args.trials - 1))]
+    want = set(args.modes.split(","))
+    pairs = [p for p in
+             [("compute", kp, 4, 16, args.trials),
+              ("compute", kp, 8, 32, args.trials),
+              ("kernel", kp, 4, 16, args.trials),
+              ("kernel", kp, 8, 32, args.trials),
+              ("crawl", args.n_pages, 8, 32, max(2, args.trials - 1))]
+             if p[0] in want]
     results: dict[str, dict[int, list[dict]]] = {}
     for mode, np_, lo, hi, trials in pairs:
         res = results.setdefault(f"{mode}_{lo}to{hi}", {})
@@ -313,9 +361,18 @@ def main() -> int:
             "hardware_ceiling_efficiency": round(ceil, 3),
             "efficiency_vs_ceiling": round(raw / ceil, 3),
         }
+    # merge with previously recorded trials for tiers not re-measured
+    prev_path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.isfile(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        for key, v in prev.get("summary", {}).items():
+            summary.setdefault(key, v)
     out = {"n_pages": args.n_pages, "rep": args.rep,
            "calibration_iters_per_sec": {str(k): round(v) for k, v in
                                          calib.items()},
+           "calibration_bandwidth_gb_s": {str(k): round(v, 1) for k, v in
+                                          bw.items()},
            "summary": summary,
            "trials": {m: {str(c): rs for c, rs in cs.items()}
                       for m, cs in results.items()}}
