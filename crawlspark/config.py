@@ -39,6 +39,13 @@ class CrawlConfig:
                                             # is discarded (counted filtered)
     lifo: bool = True                       # F3: True = DFO (Scrapy default
                                             # memory queue is LIFO [S:squeues])
+    depth_priority: int = 0                 # DEPTH_PRIORITY
+                                            # [S:scrapy/spidermiddlewares/
+                                            # depth.py]: discovered links get
+                                            # priority -= depth*this (positive
+                                            # => shallower-first/BFO shaping,
+                                            # negative => deeper-first; 0 =
+                                            # Scrapy default, no shaping)
     round_cap: int = 64                     # F5 global per-round fetch cap
                                             # (CONCURRENT_REQUESTS analogue)
     round_wall_s: float = 8.0               # F4 nominal wall-seconds per round

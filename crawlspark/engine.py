@@ -532,9 +532,14 @@ class CrawlEngine:
              .withColumn("depth", F.when(F.col("is_redirect"),
                                          F.col("parent_depth"))
                          .otherwise(F.col("parent_depth") + 1))
+             # DEPTH_PRIORITY shaping: links/forms start at
+             # -depth*depth_priority (0 under the Scrapy default);
+             # redirects keep the parent's priority
              .withColumn("priority", F.when(F.col("is_redirect"),
                                             F.col("parent_priority"))
-                         .otherwise(F.lit(0)))
+                         .otherwise((F.col("depth")
+                                     * F.lit(-cfg.depth_priority)).cast("int")
+                                    if cfg.depth_priority else F.lit(0)))
              # X11 chain provenance: redirect targets extend the parent's
              # chain; links/forms start fresh
              .withColumn("redirect_chain",

@@ -56,6 +56,7 @@ PAGES_SCHEMA = pa.schema([
     ("outlinks_raw", pa.list_(pa.string())),
     ("outform_actions", pa.list_(pa.string())),   # golden raw form actions
     ("outform_bodies", pa.list_(pa.string())),    # golden urlencoded bodies
+    ("nofollow_raw", pa.list_(pa.string())),      # golden rel=nofollow hrefs
 ])
 
 
@@ -192,6 +193,11 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                 hrefs.append(f"https://{h}/brochure/{rng.randrange(99)}.pdf")
             else:                                          # over-long (P3)
                 hrefs.append(f"https://{h}/l/" + "x" * 2200)
+        # ~12% of links demote to rel=nofollow (otherwise-valid targets
+        # the extractor must skip [S:scrapy/linkextractors/lxmlhtml.py])
+        nofollow: list[str] = []
+        if len(hrefs) >= 3 and rng.random() < 0.5:
+            nofollow.append(hrefs.pop(rng.randrange(len(hrefs))))
         # the first mega-root links into the 301 chain (X11 cap fodder)
         if is_root and h == MEGA_HOSTS[0]:
             hrefs.append("/chain/0x")
@@ -203,10 +209,11 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
             forms = [Form(f"/form/submit{path}",
                           f"src={path}&lang={rng.choice(['en', 'fr'])}")]
         title = f"{h}{path}"
-        body = render_html(title, spans, hrefs, media_srcs, forms)
+        body = render_html(title, spans, hrefs, media_srcs, forms, nofollow)
         rows.append((u, h, path, status, redirect_to, succ, latency, title,
                      body, [s._asdict() for s in spans], hrefs,
-                     [f.action for f in forms], [f.body for f in forms]))
+                     [f.action for f in forms], [f.body for f in forms],
+                     nofollow))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -221,7 +228,7 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                          20.0 + (int(fingerprint_hex(au)[:6], 16) % 2000) / 10.0,
                          f"{row[1]}{action}",
                          render_html(f"{row[1]}{action}", sp, [], []),
-                         [s._asdict() for s in sp], [], [], [])
+                         [s._asdict() for s in sp], [], [], [], [])
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -240,7 +247,7 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                      20.0 + (int(fingerprint_hex(cu)[:6], 16) % 2000) / 10.0,
                      f"{ch}/chain/{i}x",
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
-                     [s._asdict() for s in sp], [], [], []))
+                     [s._asdict() for s in sp], [], [], [], []))
 
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 

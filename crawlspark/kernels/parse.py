@@ -51,10 +51,13 @@ def media_ref_for(base_url: str, src: str) -> str:
 
 def render_html(title: str, spans: list[Span], hrefs: list[str],
                 media_srcs: list[str],
-                forms: list[Form] = ()) -> str:
+                forms: list[Form] = (),
+                nofollow: list[str] = ()) -> str:
     """Render the fixture page. ``media_srcs[i]`` is the raw src of the i-th
     media span (spans store only the derived media_ref). Forms render after
-    the link list, one hidden input per urlencoded field."""
+    the link list, one hidden input per urlencoded field. ``nofollow``
+    hrefs render as ``rel="nofollow"`` anchors after the followable
+    links — the extractor must NOT discover them."""
     out = [f"<html><head><title>{_html.escape(title)}</title></head><body>"]
     m = 0
     for s in spans:
@@ -66,6 +69,9 @@ def render_html(title: str, spans: list[Span], hrefs: list[str],
     out.append("<ul>")
     for h in hrefs:
         out.append(f'<li><a href="{_html.escape(h)}">l</a></li>')
+    for h in nofollow:
+        out.append(f'<li><a href="{_html.escape(h)}" rel="nofollow">l</a>'
+                   f'</li>')
     out.append("</ul>")
     for f in forms:
         out.append(f'<form action="{_html.escape(f.action)}" method="post">')
@@ -94,7 +100,11 @@ def parse_html(base_url: str,
     engine's link pipeline (D1/D2 + P1–P4) owns normalization, mirroring
     Scrapy where LinkExtractor absolutizes but fingerprinting
     canonicalizes [S]. Discovery-order contract (R2): links first, then
-    forms — both in their own document order.
+    forms — both in their own document order. Anchors carrying
+    ``rel="nofollow"`` are NOT extracted (the LxmlLinkExtractor default
+    [S:scrapy/linkextractors/lxmlhtml.py]; the _HREF_RE pattern requires
+    the href to be the tag's final attribute, which nofollow anchors—
+    rendered with a trailing rel attr—never satisfy).
     """
     spans: list[Span] = []
     for i, m in enumerate(_SPAN_RE.finditer(body)):

@@ -279,7 +279,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     mc(req.host, "deduped")
                     continue
                 res.seen.add(fp)
-                prio = req.priority if is_redirect else 0
+                prio = req.priority if is_redirect \
+                    else -depth * cfg.depth_priority
                 pending[fp] = _Req(fp, canon, host, prio, depth, seq,
                                    0, method, body, chain)
                 mc(req.host, "enqueued")

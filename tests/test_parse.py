@@ -60,3 +60,23 @@ def test_media_ref_is_sha1_of_canonical_absolute_url():
     ref = media_ref_for("https://h.test/dir/page", "img/1.JPG?b=2&a=1")
     canon = canonicalize_url("https://h.test/dir/img/1.JPG?b=2&a=1")
     assert ref == "full/" + hashlib.sha1(canon.encode()).hexdigest()
+
+
+def test_nofollow_links_not_extracted(fixture_pdfs):
+    """rel=nofollow anchors render into the HTML but must never be
+    discovered (LxmlLinkExtractor default). The same URL may also appear
+    as a followable anchor elsewhere on the page, so the contract is on
+    anchor COUNTS: extracted hrefs == followable anchors only."""
+    import html as _h
+    pages = fixture_pdfs["pages"]
+    n_nf = 0
+    for _, row in pages.iterrows():
+        _, hrefs, _ = parse_html(row.url_canon, row.body_html)
+        for nf in row.nofollow_raw:
+            assert f'<a href="{_h.escape(nf)}" rel="nofollow">' \
+                in row.body_html
+            n_nf += 1
+        n_anchors = row.body_html.count("<a href=")
+        assert len(hrefs) == n_anchors - len(row.nofollow_raw)
+        assert hrefs == list(row.outlinks_raw)
+    assert n_nf > 0   # the fixture must actually exercise nofollow
