@@ -63,6 +63,18 @@ class CrawlConfig:
     at_start_delay_s: float = 5.0           # AUTOTHROTTLE_START_DELAY [S]
     at_max_delay_s: float = 60.0            # AUTOTHROTTLE_MAX_DELAY [S]
     at_target_concurrency: float = 1.0      # AUTOTHROTTLE_TARGET_CONCURRENCY
+    http_cache: bool = False                # X12 HTTP-cache analogue
+                                            # [S:scrapy/downloadermiddlewares/
+                                            # httpcache.py DummyPolicy]:
+                                            # non-retryable responses are
+                                            # cached by fingerprint; a later
+                                            # run fetches them WITHOUT hitting
+                                            # the network — cache hits bypass
+                                            # the per-host politeness budget,
+                                            # consume no carry, and do not
+                                            # feed AutoThrottle (they skip the
+                                            # download slot). Requires a
+                                            # cache_dir on the engine.
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

@@ -99,7 +99,7 @@ DOCUMENTS_SCHEMA = StructType([
 
 METRIC_KEYS = ["fetched", "ok", "errors", "redirects", "retried",
                "discovered", "enqueued", "deduped", "filtered",
-               "robots_blocked"]
+               "robots_blocked", "cached"]
 METRICS_SCHEMA = StructType(
     [StructField("round", IntegerType()), StructField("host", StringType())]
     + [StructField(k, LongType()) for k in METRIC_KEYS])
@@ -109,6 +109,13 @@ LINEAGE_SCHEMA = StructType([
     StructField("stage", StringType()),
     StructField("partition_id", IntegerType()),
     StructField("rows", LongType()),
+])
+
+CACHE_SCHEMA = StructType([
+    StructField("fingerprint", StringType()),
+    StructField("status", IntegerType()),
+    StructField("redirect_to", StringType()),
+    StructField("body_html", StringType()),
 ])
 
 HOST_STATE_SCHEMA = StructType([
@@ -161,15 +168,22 @@ def _extract_fn(passthrough: list[str]):
 
 class CrawlEngine:
     def __init__(self, spark: SparkSession, fixture_dir: str, run_dir: str,
-                 cfg: CrawlConfig):
+                 cfg: CrawlConfig, cache_dir: str | None = None):
         self.spark = spark
         self.cfg = cfg
         self.store = SnapshotStore(run_dir)
         self.fixture_dir = fixture_dir
         fx = fixture_dir
+        # explicit casts: a pages table written by another tool may carry
+        # e.g. an all-null redirect_to as INT — the stream structs downstream
+        # require stable types
         self.pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
-            .select("url_canon", "status", "redirect_to", "succeeds_after",
-                    "latency_ms", "body_html")
+            .select(F.col("url_canon").cast("string"),
+                    F.col("status").cast("int"),
+                    F.col("redirect_to").cast("string"),
+                    F.col("succeeds_after").cast("int"),
+                    F.col("latency_ms").cast("double"),
+                    F.col("body_html").cast("string"))
         # X7 fetch-join strategy: the fixture "network" table is broadcast
         # when it fits (kills a per-round shuffle of the dequeued batch); on
         # a real crawl X7 is an HTTP mapInPandas and this join disappears.
@@ -189,6 +203,16 @@ class CrawlEngine:
         self.policy = spark.read.parquet(os.path.join(fx, "host_policy.parquet")) \
             .withColumnRenamed("crawl_delay_s", "policy_delay_s")
         self.seeds = spark.read.parquet(os.path.join(fx, "seeds.parquet"))
+        # X12 HTTP-cache analogue: an EXTERNAL append-only parquet dir
+        # shared across runs (the cache outlives any one run_dir); each
+        # round's misses land in a new subdir via atomic rename. A
+        # fingerprint is written at most once cache-lifetime (hits are
+        # never re-fetched), so reads need no dedup.
+        self.cache_dir = cache_dir
+        if cfg.http_cache:
+            if not cache_dir:
+                raise ValueError("cfg.http_cache requires a cache_dir")
+            os.makedirs(cache_dir, exist_ok=True)
         self.canon_udf, self.abs_udf, self.host_udf = make_udfs()
         self.robots_udf = make_robots_udf()
         self._offsite_re = _offsite_regex(cfg.allowed_domains)
@@ -286,6 +310,26 @@ class CrawlEngine:
                 .cogroup(addr.groupby("bloom_shard"))
                 .applyInPandas(merge, schema=SHARDS_SCHEMA))
 
+    def _read_cache(self) -> DataFrame:
+        dirs = [os.path.join(self.cache_dir, d)
+                for d in sorted(os.listdir(self.cache_dir))
+                if d.startswith("r")]
+        if not dirs:
+            df = self.spark.createDataFrame([], CACHE_SCHEMA)
+        else:
+            df = self.spark.read.schema(CACHE_SCHEMA).parquet(*dirs)
+        return df.select("fingerprint",
+                         F.col("status").alias("c_status"),
+                         F.col("redirect_to").alias("c_redirect"),
+                         F.col("body_html").alias("c_body"))
+
+    def _write_cache(self, df: DataFrame, ver: int) -> None:
+        import uuid
+        tmp = os.path.join(self.cache_dir, f".tmp-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(self.cache_dir,
+                                    f"r{ver:06d}-{uuid.uuid4().hex[:8]}"))
+
     def _shard_bits(self, manifest: dict) -> dict[int, bytes]:
         """Shard bytes for the committed round — from the driver cache when
         enabled and current, else one collect of the seen_shards table."""
@@ -346,6 +390,17 @@ class CrawlEngine:
         fr = fr.select(*[f.name for f in FRONTIER_SCHEMA], "_allowed").cache()
         elig = fr.filter(F.col("_allowed")) \
             .select(*[f.name for f in FRONTIER_SCHEMA])
+        # X12: annotate eligibility with the cache BEFORE budgeting — hits
+        # bypass the politeness budget entirely (no network touch)
+        use_cache = cfg.http_cache and self.cache_dir is not None
+        if use_cache:
+            elig_c = (elig.join(self._read_cache(), "fingerprint", "left")
+                      .withColumn("_cached", F.col("c_status").isNotNull()))
+        else:
+            elig_c = (elig.withColumn("_cached", F.lit(False))
+                      .withColumn("c_status", F.lit(None).cast("int"))
+                      .withColumn("c_redirect", F.lit(None).cast("string"))
+                      .withColumn("c_body", F.lit(None).cast("string")))
         blocked_m = (fr.filter(~F.col("_allowed"))
                      .groupBy("host")
                      .agg(F.count("*").alias("robots_blocked")))
@@ -386,17 +441,28 @@ class CrawlEngine:
         # ---- F3 salted two-phase per-host priority dequeue (J6) -----------
         seq_order = F.col("enqueue_seq").desc() if cfg.lifo \
             else F.col("enqueue_seq").asc()
-        cand = (elig.join(F.broadcast(host_round.select("host", "budget", "salt_n")),
-                          "host")
+        cand = (elig_c.join(F.broadcast(host_round.select("host", "budget", "salt_n")),
+                            "host")
                 .withColumn("_salt",
                             F.pmod(F.xxhash64("fingerprint"), F.col("salt_n"))))
         w1 = Window.partitionBy("host", "_salt") \
             .orderBy(F.col("priority").desc(), seq_order)
-        phase1 = (cand.withColumn("_r1", F.row_number().over(w1))
-                  .filter(F.col("_r1") <= F.col("budget")))
         w2 = Window.partitionBy("host").orderBy(F.col("priority").desc(), seq_order)
-        ranked = (phase1.withColumn("host_rank", F.row_number().over(w2))
-                  .filter(F.col("host_rank") <= F.col("budget")))
+        if use_cache:
+            # budget gates only network-bound rows; cache hits all ship,
+            # re-ranked into the host's R4 order alongside the survivors
+            unc = cand.filter(~F.col("_cached"))
+            phase1 = (unc.withColumn("_r1", F.row_number().over(w1))
+                      .filter(F.col("_r1") <= F.col("budget")).drop("_r1"))
+            kept_unc = (phase1.withColumn("_r2", F.row_number().over(w2))
+                        .filter(F.col("_r2") <= F.col("budget")).drop("_r2"))
+            kept = cand.filter(F.col("_cached")).unionByName(kept_unc)
+            ranked = kept.withColumn("host_rank", F.row_number().over(w2))
+        else:
+            phase1 = (cand.withColumn("_r1", F.row_number().over(w1))
+                      .filter(F.col("_r1") <= F.col("budget")))
+            ranked = (phase1.withColumn("host_rank", F.row_number().over(w2))
+                      .filter(F.col("host_rank") <= F.col("budget")))
 
         # ---- F5 global cap + deterministic total order (R4/R5) ------------
         # one global window over the budget-capped survivors (bounded by
@@ -406,16 +472,24 @@ class CrawlEngine:
                                 F.col("enqueue_seq").asc())
         sel = (ranked.withColumn("fetch_rank", F.row_number().over(w_rank))
                .filter(F.col("fetch_rank") <= cfg.round_cap)
-               .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank"))
+               .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank",
+                       "_cached", "c_status", "c_redirect", "c_body"))
 
         # ---- X7 fetch = join vs the pages fixture (the "network") ---------
         batch = (sel.join(self._pages_join, "url_canon", "left")
                  .withColumn(
                      "status",
-                     F.when(F.col("succeeds_after").isNotNull()
-                            & (F.col("retry_count") >= F.col("succeeds_after")),
-                            F.lit(200))
+                     F.when(F.col("_cached"), F.col("c_status"))
+                     .when(F.col("succeeds_after").isNotNull()
+                           & (F.col("retry_count") >= F.col("succeeds_after")),
+                           F.lit(200))
                      .otherwise(F.coalesce(F.col("status"), F.lit(404))))
+                 .withColumn("redirect_to",
+                             F.when(F.col("_cached"), F.col("c_redirect"))
+                             .otherwise(F.col("redirect_to")))
+                 .withColumn("body_html",
+                             F.when(F.col("_cached"), F.col("c_body"))
+                             .otherwise(F.col("body_html")))
                  .withColumn("_retryable",
                              F.col("status").isin(list(RETRY_CODES))
                              & (F.col("retry_count") < cfg.retry_times))
@@ -595,7 +669,7 @@ class CrawlEngine:
         seen_delta = new_rows.select("fingerprint")
 
         # ---- politeness carry update (shared arithmetic w/ oracle) ---------
-        fetched_by_host = batch.groupBy("host").agg(
+        fetched_by_host = batch.filter(~F.col("_cached")).groupBy("host").agg(
             F.count("*").alias("fetched_n"),
             F.array_sort(F.collect_list(F.struct(
                 F.col("fetch_rank"),
@@ -641,6 +715,7 @@ class CrawlEngine:
         _b = lambda cond: cond.cast("int")  # noqa: E731
         m_fetch = batch.select(
             "host", F.lit(1).alias("fetched"),
+            _b(F.col("_cached")).alias("cached"),
             _b(F.col("_ok")).alias("ok"),
             _b(~F.col("_ok") & ~(F.col("_redirect") & ~F.col("_retryable")))
             .alias("errors"),
@@ -720,10 +795,20 @@ class CrawlEngine:
                 ("seen_shards", self._update_shards(shards_df, seen_delta),
                  True))
         _t1 = time.time()
-        with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futs = {name: pool.submit(self.store.write_round, df, name, ver)
                     for name, df, _ in writes}
+            cache_fut = None
+            if use_cache:
+                to_cache = (batch.filter(
+                    ~F.col("_cached")
+                    & ~F.col("status").isin(list(RETRY_CODES)))
+                    .select("fingerprint", F.col("status").cast("int"),
+                            "redirect_to", "body_html"))
+                cache_fut = pool.submit(self._write_cache, to_cache, ver)
             paths = {name: f.result() for name, f in futs.items()}
+            if cache_fut is not None:
+                cache_fut.result()
         _t["writes"] = time.time() - _t1
         for name, _, full in writes:
             tables[name] = [paths[name]] if full \

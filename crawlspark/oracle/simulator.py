@@ -86,7 +86,14 @@ def _suffix_match(host: str, domains: tuple[str, ...]) -> bool:
 
 
 def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
-             max_rounds: int | None = None) -> OracleResult:
+             max_rounds: int | None = None,
+             cache: dict[str, tuple] | None = None) -> OracleResult:
+    """``cache`` is the X12 HTTP-cache: {fingerprint: (status,
+    redirect_to, body_html)}. When cfg.http_cache is on, non-retryable
+    responses are appended to it IN PLACE (so a caller can chain runs) and
+    hits are served without consuming the per-host politeness budget,
+    carry, or AutoThrottle state — they bypass the download slot
+    [S:scrapy/downloadermiddlewares/httpcache.py]."""
     pages = {
         r.url_canon: r for r in fixture["pages"].itertuples(index=False)
     }
@@ -150,7 +157,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             d = m.setdefault(host, {
                 "fetched": 0, "ok": 0, "errors": 0, "redirects": 0,
                 "retried": 0, "discovered": 0, "enqueued": 0, "deduped": 0,
-                "filtered": 0, "robots_blocked": 0})
+                "filtered": 0, "robots_blocked": 0, "cached": 0})
             d[key] += n
 
         # ---- robots gating at dequeue (P5) --------------------------------
@@ -175,6 +182,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         selected: list[tuple[_Req, int]] = []  # (req, host_rank)
         avail_by_host: dict[str, float] = {}
         budget_by_host: dict[str, int] = {}
+        use_cache = cfg.http_cache and cache is not None
         for host, reqs in by_host.items():
             budget, avail = cfg.budget_for(delay_used(host), max_conc(host),
                                            carry.get(host, 0.0))
@@ -182,7 +190,17 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             budget_by_host[host] = budget
             reqs.sort(key=lambda q: (-q.priority,
                                      -q.seq if cfg.lifo else q.seq))
-            for i, q in enumerate(reqs[:budget]):
+            if use_cache:
+                # X12: the budget gates only requests that will hit the
+                # network; cache hits all ship this round, re-ranked into
+                # the host's R4 order
+                uncached = [q for q in reqs if q.fingerprint not in cache]
+                kept = [q for q in reqs if q.fingerprint in cache]                     + uncached[:budget]
+                kept.sort(key=lambda q: (-q.priority,
+                                         -q.seq if cfg.lifo else q.seq))
+            else:
+                kept = reqs[:budget]
+            for i, q in enumerate(kept):
                 selected.append((q, i + 1))
 
         # ---- F5: global cap + total order (R4) ----------------------------
@@ -196,19 +214,27 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
         for req in fetch_list:
             del pending[req.fingerprint]
-            fetched_per_host[req.host] = fetched_per_host.get(req.host, 0) + 1
+            hit = use_cache and req.fingerprint in cache
             page = pages.get(req.url_canon)
-            if page is None:
-                status = 404
-            elif page.succeeds_after is not None \
-                    and not pd.isna(page.succeeds_after) \
-                    and req.retry_count >= int(page.succeeds_after):
-                status = 200
+            if hit:
+                # X12 cache hit: served locally — no budget/carry/AT cost
+                status, cached_redirect, cached_body = cache[req.fingerprint]
+                mc(req.host, "cached")
             else:
-                status = int(page.status)
-            lat_s = (float(page.latency_ms) / 1000.0) if page is not None \
-                else 0.0
-            responses_per_host.setdefault(req.host, []).append((lat_s, status))
+                fetched_per_host[req.host] = \
+                    fetched_per_host.get(req.host, 0) + 1
+                if page is None:
+                    status = 404
+                elif page.succeeds_after is not None \
+                        and not pd.isna(page.succeeds_after) \
+                        and req.retry_count >= int(page.succeeds_after):
+                    status = 200
+                else:
+                    status = int(page.status)
+                lat_s = (float(page.latency_ms) / 1000.0) \
+                    if page is not None else 0.0
+                responses_per_host.setdefault(req.host, []) \
+                    .append((lat_s, status))
             rank += 1
             res.crawl_order.append({
                 "rank": rank, "fingerprint": req.fingerprint,
@@ -219,23 +245,29 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             total_fetched += 1
             mc(req.host, "fetched")
 
+            redirect_tgt = cached_redirect if hit else (
+                page.redirect_to if page is not None else None)
+            body = cached_body if hit else (
+                page.body_html if page is not None else None)
             stream: list = []
             if status in RETRY_CODES:
                 mc(req.host, "errors")
                 if req.retry_count < cfg.retry_times:
                     stream = [_RETRY]
-            elif 300 <= status < 400 and page is not None \
-                    and isinstance(page.redirect_to, str) and page.redirect_to:
+            elif 300 <= status < 400 and isinstance(redirect_tgt, str) \
+                    and redirect_tgt:
                 mc(req.host, "redirects")
-                stream = [page.redirect_to]
-            elif status == 200 and page is not None:
+                stream = [redirect_tgt]
+            elif status == 200 and body is not None:
                 mc(req.host, "ok")
-                spans, hrefs, forms = parse_html(req.url_canon,
-                                                 page.body_html)
+                spans, hrefs, forms = parse_html(req.url_canon, body)
                 res.documents[req.fingerprint] = [s._asdict() for s in spans]
                 stream = hrefs + forms   # R2: links first, then forms
             else:
                 mc(req.host, "errors")
+            if use_cache and not hit and status not in RETRY_CODES:
+                # DummyPolicy: store every non-retryable response
+                cache[req.fingerprint] = (status, redirect_tgt, body)
 
             is_redirect = 300 <= status < 400
             for item in stream:

@@ -39,6 +39,9 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--config-json", default=None,
                     help="path to a CrawlConfig JSON (default: fixture's "
                          "config.json if present, else defaults)")
+    ap.add_argument("--cache-dir", default=None,
+                    help="X12 HTTP-cache dir shared across runs; implies "
+                         "http_cache=True (re-crawl without re-fetch)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,7 +63,10 @@ def main(argv: list[str]) -> int:
     except FileNotFoundError:
         cfg = CrawlConfig()
 
-    eng = CrawlEngine(spark, args.fixture, args.run_dir, cfg)
+    if args.cache_dir:
+        cfg = CrawlConfig.from_dict({**cfg.to_dict(), "http_cache": True})
+    eng = CrawlEngine(spark, args.fixture, args.run_dir, cfg,
+                      cache_dir=args.cache_dir)
     t0 = time.time()
     manifest = eng.run(max_rounds=args.rounds, resume=args.resume)
     dt = time.time() - t0

@@ -1,0 +1,114 @@
+"""X12 HTTP-cache analogue (r2): re-crawl without re-fetch.
+
+Semantics pinned in config.py / oracle: non-retryable responses are cached
+by fingerprint; cache hits are served without touching the network — they
+bypass the per-host politeness budget, consume no carry, and don't feed
+AutoThrottle. [S:scrapy/downloadermiddlewares/httpcache.py DummyPolicy]
+
+The second crawl here runs against a SABOTAGED network (every page 404s):
+only cache-served responses can produce documents, so equality with the
+first run's documents proves responses really come from the cache.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.fixtures.webgraph import default_config, write_fixture
+from crawlspark.oracle.simulator import simulate
+
+ORDER_COLS = ["rank", "fingerprint", "url_canon", "round", "host", "status"]
+
+
+def _cfg():
+    base = default_config()
+    return CrawlConfig(**{**base.to_dict(),
+                          "allowed_domains": base.allowed_domains,
+                          "http_cache": True})
+
+
+@pytest.fixture(scope="module")
+def cache_setup(spark, tmp_path_factory):
+    cfg = _cfg()
+    fx = str(tmp_path_factory.mktemp("hc_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    cache_dir = str(tmp_path_factory.mktemp("hc_cache"))
+
+    oracle_cache: dict = {}
+    oracle_a = simulate(pdfs, cfg, cache=oracle_cache)
+    eng_a = CrawlEngine(spark, fx, str(tmp_path_factory.mktemp("hc_run_a")),
+                        cfg, cache_dir=cache_dir)
+    man_a = eng_a.run()
+
+    # sabotage the network: every page now 404s with no body
+    n = len(pdfs["pages"])
+    mut = pdfs["pages"].assign(
+        status=pd.array([404] * n, dtype="int32"),
+        redirect_to=pd.array([None] * n, dtype="string"),
+        succeeds_after=pd.array([None] * n, dtype="Int32"),
+        body_html="")
+    fx_b = str(tmp_path_factory.mktemp("hc_graph_b"))
+    mut.to_parquet(f"{fx_b}/pages.parquet", index=False)
+    for n in ("seeds", "robots", "host_policy"):
+        pdfs[n].to_parquet(f"{fx_b}/{n}.parquet", index=False)
+    pdfs_b = {n: pd.read_parquet(f"{fx_b}/{n}.parquet")
+              for n in ("seeds", "pages", "robots", "host_policy")}
+
+    oracle_b = simulate(pdfs_b, cfg, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx_b,
+                        str(tmp_path_factory.mktemp("hc_run_b")),
+                        cfg, cache_dir=cache_dir)
+    man_b = eng_b.run()
+    return (eng_a, man_a, oracle_a), (eng_b, man_b, oracle_b), cfg
+
+
+def _order(eng, manifest):
+    return (eng.crawl_order_df(manifest).orderBy("rank")
+            .toPandas()[ORDER_COLS].reset_index(drop=True))
+
+
+def test_first_run_matches_oracle_and_plain(cache_setup, spark,
+                                            tmp_path_factory):
+    (eng_a, man_a, oracle_a), _, cfg = cache_setup
+    got = _order(eng_a, man_a)
+    want = pd.DataFrame(oracle_a.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # an empty cache must not change behavior at all
+    m = eng_a.metrics_df(man_a).toPandas()
+    assert m.cached.sum() == 0
+
+
+def test_recrawl_served_from_cache_matches_oracle(cache_setup):
+    (_, _, oracle_a), (eng_b, man_b, oracle_b), _ = cache_setup
+    got = _order(eng_b, man_b)
+    want = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    m = eng_b.metrics_df(man_b).toPandas()
+    assert m.cached.sum() > 0
+    # cache hits bypass the budget: the re-crawl finishes in fewer rounds
+    assert man_b["round"] <= oracle_a.rounds
+
+
+def test_recrawl_documents_identical_despite_dead_network(cache_setup):
+    """Every cached 200 re-serves its ORIGINAL body — the sabotaged
+    network (all 404) cannot have produced these spans."""
+    (eng_a, man_a, oracle_a), (eng_b, man_b, _) = cache_setup[:2]
+    docs_a = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_a.documents_df(man_a).toPandas().itertuples()}
+    docs_b = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_b.documents_df(man_b).toPandas().itertuples()}
+    assert len(docs_b) > 0
+    for doc_id, spans in docs_b.items():
+        assert docs_a[doc_id] == spans
+
+
+def test_cache_off_unchanged_by_flag_default():
+    cfg = default_config()
+    assert cfg.http_cache is False
