@@ -55,10 +55,10 @@ def bench_crawl(spark, sf: float, rounds: int) -> dict:
         allowed_domains=("example-hotels.test", "example-restaurants.test",
                          *MEGA_HOSTS),
         round_cap=8192, default_crawl_delay_s=0.02, max_rounds=rounds)
-    # v2: fixture gained POST forms + the 25-hop 301 chain (stale caches
-    # from earlier rounds must not be reused)
+    # v3: fixture gained POST forms, the 25-hop 301 chain, nofollow links
+    # and cookie sessions (stale caches must not be reused)
     fx_dir = os.path.join(tempfile.gettempdir(),
-                          f"crawlspark_bench_fx_v2_{n_pages}")
+                          f"crawlspark_bench_fx_v3_{n_pages}")
     if not os.path.isdir(fx_dir):
         write_fixture(fx_dir, n_pages=n_pages, seed=42, config=cfg)
     # tiny rounds: AQE's per-stage replanning costs more than it saves

@@ -63,6 +63,18 @@ class CrawlConfig:
     at_start_delay_s: float = 5.0           # AUTOTHROTTLE_START_DELAY [S]
     at_max_delay_s: float = 60.0            # AUTOTHROTTLE_MAX_DELAY [S]
     at_target_concurrency: float = 1.0      # AUTOTHROTTLE_TARGET_CONCURRENCY
+    cookies_enabled: bool = True            # X13 cookies/session state
+                                            # [S:scrapy/downloadermiddlewares/
+                                            # cookies.py]: a 200 response
+                                            # whose page sets a cookie grants
+                                            # it host-wide at END of round; a
+                                            # requires_cookie page serves 403
+                                            # unless the cookie is held at
+                                            # round START (next-round effect —
+                                            # batch fetches are concurrent, so
+                                            # within-round propagation is
+                                            # deliberately excluded; pinned
+                                            # deviation, see COVERAGE.md)
     http_cache: bool = False                # X12 HTTP-cache analogue
                                             # [S:scrapy/downloadermiddlewares/
                                             # httpcache.py DummyPolicy]:

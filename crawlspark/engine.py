@@ -111,6 +111,11 @@ LINEAGE_SCHEMA = StructType([
     StructField("rows", LongType()),
 ])
 
+COOKIE_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("cookie", StringType()),
+])
+
 CACHE_SCHEMA = StructType([
     StructField("fingerprint", StringType()),
     StructField("status", IntegerType()),
@@ -176,14 +181,16 @@ class CrawlEngine:
         fx = fixture_dir
         # explicit casts: a pages table written by another tool may carry
         # e.g. an all-null redirect_to as INT — the stream structs downstream
-        # require stable types
-        self.pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
-            .select(F.col("url_canon").cast("string"),
-                    F.col("status").cast("int"),
-                    F.col("redirect_to").cast("string"),
-                    F.col("succeeds_after").cast("int"),
-                    F.col("latency_ms").cast("double"),
-                    F.col("body_html").cast("string"))
+        # require stable types; cookie columns are optional (older graphs)
+        raw_pages = spark.read.parquet(os.path.join(fx, "pages.parquet"))
+        have = set(raw_pages.columns)
+        _c = lambda n, t: (F.col(n).cast(t) if n in have  # noqa: E731
+                           else F.lit(None).cast(t)).alias(n)
+        self.pages = raw_pages.select(
+            _c("url_canon", "string"), _c("status", "int"),
+            _c("redirect_to", "string"), _c("succeeds_after", "int"),
+            _c("latency_ms", "double"), _c("body_html", "string"),
+            _c("set_cookie", "string"), _c("requires_cookie", "string"))
         # X7 fetch-join strategy: the fixture "network" table is broadcast
         # when it fits (kills a per-round shuffle of the dequeued batch); on
         # a real crawl X7 is an HTTP mapInPandas and this join disappears.
@@ -257,9 +264,11 @@ class CrawlEngine:
                     .select([f.name for f in FRONTIER_SCHEMA]).cache())
         seen = frontier.select("fingerprint")
         empty_hs = self.spark.createDataFrame([], HOST_STATE_SCHEMA)
+        empty_ck = self.spark.createDataFrame([], COOKIE_SCHEMA)
         shards = self._update_shards(None, seen)
         writes = [("frontier", frontier), ("seen", seen),
-                  ("host_state", empty_hs), ("seen_shards", shards)]
+                  ("host_state", empty_hs), ("cookie_state", empty_ck),
+                  ("seen_shards", shards)]
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futs = {n: pool.submit(self.store.write_round, df, n, 0)
                     for n, df in writes}
@@ -373,6 +382,8 @@ class CrawlEngine:
         seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
         host_state = self.store.read(spark, manifest, "host_state",
                                      HOST_STATE_SCHEMA)
+        cookie_state = self.store.read(spark, manifest, "cookie_state",
+                                       COOKIE_SCHEMA)
 
         # ---- P5 robots gating at dequeue (J2 broadcast join) -------------
         fr = frontier.join(F.broadcast(self.robots), "host", "left")
@@ -390,17 +401,22 @@ class CrawlEngine:
         fr = fr.select(*[f.name for f in FRONTIER_SCHEMA], "_allowed").cache()
         elig = fr.filter(F.col("_allowed")) \
             .select(*[f.name for f in FRONTIER_SCHEMA])
-        # X12: annotate eligibility with the cache BEFORE budgeting — hits
-        # bypass the politeness budget entirely (no network touch)
+        # X12: annotate eligibility with a cache-hit FLAG before budgeting
+        # (hits bypass the politeness budget entirely). Only the 40-byte
+        # fingerprint column joins here — the cached response BODIES join
+        # after selection, so payload bytes never ride through the dequeue
+        # windows (bounded by round_cap there).
         use_cache = cfg.http_cache and self.cache_dir is not None
         if use_cache:
-            elig_c = (elig.join(self._read_cache(), "fingerprint", "left")
-                      .withColumn("_cached", F.col("c_status").isNotNull()))
+            cache_df = self._read_cache()
+            flags = cache_df.select("fingerprint") \
+                .withColumn("_hit", F.lit(True))
+            elig_c = (elig.join(flags, "fingerprint", "left")
+                      .withColumn("_cached",
+                                  F.coalesce("_hit", F.lit(False)))
+                      .drop("_hit"))
         else:
-            elig_c = (elig.withColumn("_cached", F.lit(False))
-                      .withColumn("c_status", F.lit(None).cast("int"))
-                      .withColumn("c_redirect", F.lit(None).cast("string"))
-                      .withColumn("c_body", F.lit(None).cast("string")))
+            elig_c = elig.withColumn("_cached", F.lit(False))
         blocked_m = (fr.filter(~F.col("_allowed"))
                      .groupBy("host")
                      .agg(F.count("*").alias("robots_blocked")))
@@ -473,13 +489,33 @@ class CrawlEngine:
         sel = (ranked.withColumn("fetch_rank", F.row_number().over(w_rank))
                .filter(F.col("fetch_rank") <= cfg.round_cap)
                .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank",
-                       "_cached", "c_status", "c_redirect", "c_body"))
+                       "_cached"))
+        if use_cache:
+            # attach cached responses to the SELECTED batch only
+            sel = sel.join(cache_df, "fingerprint", "left")
+        else:
+            sel = (sel.withColumn("c_status", F.lit(None).cast("int"))
+                   .withColumn("c_redirect", F.lit(None).cast("string"))
+                   .withColumn("c_body", F.lit(None).cast("string")))
 
         # ---- X7 fetch = join vs the pages fixture (the "network") ---------
+        # X13: cookie availability at ROUND START (grants apply at round
+        # end, so batch fetches see last round's state — pinned concurrent-
+        # batch semantics); gate order: cache replay > cookie 403 > flaky
+        has_ck = (cookie_state
+                  .withColumnRenamed("cookie", "requires_cookie")
+                  .withColumn("_has_ck", F.lit(True)))
         batch = (sel.join(self._pages_join, "url_canon", "left")
+                 .join(F.broadcast(has_ck), ["host", "requires_cookie"],
+                       "left")
                  .withColumn(
                      "status",
                      F.when(F.col("_cached"), F.col("c_status"))
+                     .when((F.length(F.coalesce("requires_cookie",
+                                                F.lit(""))) > 0)
+                           & F.col("_has_ck").isNull()
+                           if cfg.cookies_enabled else F.lit(False),
+                           F.lit(403))
                      .when(F.col("succeeds_after").isNotNull()
                            & (F.col("retry_count") >= F.col("succeeds_after")),
                            F.lit(200))
@@ -706,6 +742,16 @@ class CrawlEngine:
         host_state_next = host_state.join(host_round, "host", "left_anti") \
             .unionByName(carry_new)
 
+        # X13 cookie grants from this round's 200s, effective next round
+        if cfg.cookies_enabled:
+            grants = (batch.filter((F.col("status") == 200)
+                                   & (F.length(F.coalesce(
+                                       "set_cookie", F.lit(""))) > 0))
+                      .select("host", F.col("set_cookie").alias("cookie")))
+            cookie_next = cookie_state.unionByName(grants).distinct()
+        else:
+            cookie_next = cookie_state
+
         # ---- A1-A5 metrics per (round, host): ONE shuffle ------------------
         # indicator projections over the cached stages, unioned RAW and
         # summed in a single groupBy — one exchange instead of five (the
@@ -780,6 +826,7 @@ class CrawlEngine:
         writes: list[tuple[str, DataFrame, bool]] = [
             ("frontier", frontier_next, True),
             ("host_state", host_state_next.coalesce(1), True),
+            ("cookie_state", cookie_next.coalesce(1), True),
             ("seen", seen_delta.coalesce(1), False),
             ("documents", documents.coalesce(1), False),
             ("crawl_order", crawl_order.coalesce(1), False),

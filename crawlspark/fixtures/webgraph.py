@@ -57,6 +57,8 @@ PAGES_SCHEMA = pa.schema([
     ("outform_actions", pa.list_(pa.string())),   # golden raw form actions
     ("outform_bodies", pa.list_(pa.string())),    # golden urlencoded bodies
     ("nofollow_raw", pa.list_(pa.string())),      # golden rel=nofollow hrefs
+    ("set_cookie", pa.string()),       # 200 response grants this host cookie
+    ("requires_cookie", pa.string()),  # 403 unless the cookie is held
 ])
 
 
@@ -130,6 +132,16 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
     for u, h in zip(urls, url_host_l):
         by_host.setdefault(h, []).append(u)
 
+    # --- cookie sessions (X13): on ~1/3 of hosts a non-root "login" page
+    # sets a session cookie and ~20% of that host's other pages are gated
+    # on it. The setter is NOT the (seeded) root, so crawl order decides
+    # whether a gated page 403s (fetched before the login) or serves —
+    # both outcomes occur on the default graph and both are oracle-pinned.
+    # independent stream: cookie layout must not perturb the page/status/
+    # link draws (the failure-mode coverage of the rest of the graph)
+    crng = random.Random(seed ^ 0xC00C1E)
+    cookie_hosts = {h for h in hosts if crng.random() < 0.5}
+    cookie_set_done: set[str] = set()
     # --- per-page rows
     rows = []
     for u, h in zip(urls, url_host_l):
@@ -208,12 +220,19 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
         if not is_root and rng.random() < 0.12:
             forms = [Form(f"/form/submit{path}",
                           f"src={path}&lang={rng.choice(['en', 'fr'])}")]
+        set_ck, req_ck = None, None
+        if not is_root and h in cookie_hosts and status == 200:
+            if h not in cookie_set_done:
+                set_ck = f"sess-{h}"
+                cookie_set_done.add(h)
+            elif crng.random() < 0.45:
+                req_ck = f"sess-{h}"
         title = f"{h}{path}"
         body = render_html(title, spans, hrefs, media_srcs, forms, nofollow)
         rows.append((u, h, path, status, redirect_to, succ, latency, title,
                      body, [s._asdict() for s in spans], hrefs,
                      [f.action for f in forms], [f.body for f in forms],
-                     nofollow))
+                     nofollow, set_ck, req_ck))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -228,7 +247,8 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                          20.0 + (int(fingerprint_hex(au)[:6], 16) % 2000) / 10.0,
                          f"{row[1]}{action}",
                          render_html(f"{row[1]}{action}", sp, [], []),
-                         [s._asdict() for s in sp], [], [], [], [])
+                         [s._asdict() for s in sp], [], [], [], [],
+                         None, None)
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -247,7 +267,8 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
                      20.0 + (int(fingerprint_hex(cu)[:6], 16) % 2000) / 10.0,
                      f"{ch}/chain/{i}x",
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
-                     [s._asdict() for s in sp], [], [], [], []))
+                     [s._asdict() for s in sp], [], [], [], [],
+                     None, None))
 
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 

@@ -111,6 +111,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     pending: dict[str, _Req] = {}
     carry: dict[str, float] = {}
     at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
+    cookies: set[tuple[str, str]] = set()   # X13 (host, cookie) session state
     next_seq = 0
     rank = 0
 
@@ -209,6 +210,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
         fetched_per_host: dict[str, int] = {}
         responses_per_host: dict[str, list[tuple[float, int]]] = {}
+        new_grants: set[tuple[str, str]] = set()
         round_base = next_seq
 
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
@@ -223,8 +225,14 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             else:
                 fetched_per_host[req.host] = \
                     fetched_per_host.get(req.host, 0) + 1
+                req_ck = getattr(page, "requires_cookie", None) \
+                    if page is not None else None
                 if page is None:
                     status = 404
+                elif cfg.cookies_enabled and isinstance(req_ck, str) \
+                        and req_ck and (req.host, req_ck) not in cookies:
+                    # X13: gated page, cookie not held at round start
+                    status = 403
                 elif page.succeeds_after is not None \
                         and not pd.isna(page.succeeds_after) \
                         and req.retry_count >= int(page.succeeds_after):
@@ -268,6 +276,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             if use_cache and not hit and status not in RETRY_CODES:
                 # DummyPolicy: store every non-retryable response
                 cache[req.fingerprint] = (status, redirect_tgt, body)
+            if cfg.cookies_enabled and status == 200 and page is not None:
+                set_ck = getattr(page, "set_cookie", None)
+                if isinstance(set_ck, str) and set_ck:
+                    new_grants.add((req.host, set_ck))
 
             is_redirect = 300 <= status < 400
             for item in stream:
@@ -326,6 +338,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 at_state[host] = cfg.at_fold(
                     at_state.get(host, cfg.at_start_delay_s),
                     responses_per_host[host], eff_delay(host))
+
+        cookies |= new_grants   # X13: grants take effect NEXT round
 
         for host, d in sorted(m.items()):
             res.metrics.append({"round": rnd, "host": host, **d})

@@ -28,7 +28,7 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FULL_REWRITE = {"frontier", "host_state", "seen_shards"}
+FULL_REWRITE = {"frontier", "host_state", "cookie_state", "seen_shards"}
 APPEND_ONLY = {"seen", "documents", "crawl_order", "metrics", "lineage"}
 
 

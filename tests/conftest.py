@@ -18,6 +18,7 @@ def spark():
     from pyspark.sql import SparkSession
     s = (SparkSession.builder.master("local[8]")
          .appName("crawlspark-tests")
+         .config("spark.driver.memory", "6g")
          # AQE off for tiny test rounds: its per-stage replanning dominates
          # wall time at this scale; bench.py runs with AQE ON (session.py)
          .config("spark.sql.adaptive.enabled", "false")
