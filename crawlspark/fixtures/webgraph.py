@@ -93,7 +93,8 @@ def _mess_up(rng: random.Random, url_canon: str, same_host: bool) -> str:
     return url
 
 
-def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
+def generate(n_pages: int = 300, seed: int = 42,
+             chain_len: int = 25) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
     n_small = max(4, n_pages // 40)
     hosts = _hosts(n_small)
@@ -210,8 +211,11 @@ def generate(n_pages: int = 300, seed: int = 42) -> dict[str, pd.DataFrame]:
         nofollow: list[str] = []
         if len(hrefs) >= 3 and rng.random() < 0.5:
             nofollow.append(hrefs.pop(rng.randrange(len(hrefs))))
-        # the first mega-root links into the 301 chain (X11 cap fodder)
-        if is_root and h == MEGA_HOSTS[0]:
+        # the first mega-root links into the 301 chain (X11 cap fodder).
+        # NOTE: the chain advances ONE hop per round (each redirect target
+        # is re-enqueued), so it adds ~chain_len rounds to a crawl — tests
+        # not exercising the cap pass chain_len=0
+        if is_root and h == MEGA_HOSTS[0] and chain_len:
             hrefs.append("/chain/0x")
         # ~12% of non-root pages carry a POST search form (D2 method+body
         # fingerprints; FormRequest analogue) whose action page is appended
@@ -321,9 +325,10 @@ def default_config() -> CrawlConfig:
 
 
 def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
-                  config: CrawlConfig | None = None) -> CrawlConfig:
+                  config: CrawlConfig | None = None,
+                  chain_len: int = 25) -> CrawlConfig:
     os.makedirs(out_dir, exist_ok=True)
-    dfs = generate(n_pages=n_pages, seed=seed)
+    dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len)
     pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
                                         preserve_index=False),
                    os.path.join(out_dir, "pages.parquet"))

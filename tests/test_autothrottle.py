@@ -25,7 +25,7 @@ def at_setup(spark, tmp_path_factory):
                          "at_max_delay_s": 6.0,
                          "at_target_concurrency": 2.0})
     fx = str(tmp_path_factory.mktemp("at_graph"))
-    write_fixture(fx, n_pages=110, seed=42, config=cfg)
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
     pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
             for n in ("seeds", "pages", "robots", "host_policy")}
     oracle = simulate(pdfs, cfg)

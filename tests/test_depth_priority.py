@@ -25,7 +25,7 @@ def dp_setup(spark, tmp_path_factory):
                          "depth_priority": 1,   # shallower-first (BFO)
                          "lifo": False})
     fx = str(tmp_path_factory.mktemp("dp_graph"))
-    write_fixture(fx, n_pages=110, seed=42, config=cfg)
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
     pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
             for n in ("seeds", "pages", "robots", "host_policy")}
     oracle = simulate(pdfs, cfg)

@@ -34,7 +34,7 @@ def _cfg():
 def cache_setup(spark, tmp_path_factory):
     cfg = _cfg()
     fx = str(tmp_path_factory.mktemp("hc_graph"))
-    write_fixture(fx, n_pages=110, seed=42, config=cfg)
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
     pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
             for n in ("seeds", "pages", "robots", "host_policy")}
     cache_dir = str(tmp_path_factory.mktemp("hc_cache"))

@@ -18,7 +18,8 @@ SEEDS = [7, 1234]
 def run_pair(request, spark, tmp_path_factory):
     seed = request.param
     fx = str(tmp_path_factory.mktemp(f"g{seed}"))
-    cfg = write_fixture(fx, n_pages=90, seed=seed, config=default_config())
+    cfg = write_fixture(fx, n_pages=90, seed=seed, config=default_config(),
+                  chain_len=0)
     pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
             for n in ("seeds", "pages", "robots", "host_policy")}
     oracle = simulate(pdfs, cfg)
@@ -82,7 +83,7 @@ def test_bfo_order_matches_oracle(spark, tmp_path_factory):
                          "allowed_domains": base.allowed_domains,
                          "lifo": False})
     fx = str(tmp_path_factory.mktemp("bfo_graph"))
-    write_fixture(fx, n_pages=90, seed=11, config=cfg)
+    write_fixture(fx, n_pages=90, seed=11, config=cfg, chain_len=0)
     pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
             for n in ("seeds", "pages", "robots", "host_policy")}
     oracle = simulate(pdfs, cfg)
