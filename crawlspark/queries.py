@@ -585,6 +585,137 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.05
 """
 
 
+def _shingles(d):
+    """Distinct word-3-gram shingles per doc (shared by the Jaccard and
+    MinHash families)."""
+    return (d.withColumn("w", F.split(F.trim("text"), "\\s+"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id",
+                    F.explode(F.expr(
+                        "transform(sequence(0, size(w)-3),"
+                        " i -> concat_ws(' ', slice(w, i+1, 3)))"))
+                    .alias("shingle"))
+            .distinct())
+
+
+_MH_SIGS = 16   # minhash permutations
+_MH_BANDS = 4   # bands of _MH_SIGS/_MH_BANDS rows each
+
+
+def q_docs_minhash_verified(spark, sf):
+    """MinHash+LSH near-dup with a FULL cross-engine oracle: signatures are
+    min(md5(i || ':' || shingle)) (hex-string min — computable identically
+    in DuckDB, unlike the xxhash64 variant docs_minhash_lsh which stays as
+    the faster rows-only native path), banded 4x4; pairs sharing a band
+    bucket are verified by exact shingle-set Jaccard >= 0.5. Scale shape:
+    band-bucket equi-join for candidates, shingle inverted-index join
+    restricted to candidate pairs for verification — never all-pairs."""
+    d = _t(spark, sf, "documents")
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+          .alias(f"s{i}") for i in range(_MH_SIGS)])
+    r = _MH_SIGS // _MH_BANDS
+    bands = sig.select("doc_id", F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(*[F.col(f"s{b * r + j}") for j in range(r)]))
+                 .alias("bucket"))
+        for b in range(_MH_BANDS)])).alias("bb")) \
+        .select("doc_id", "bb.band", "bb.bucket")
+    cand = (bands.alias("a").join(bands.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    n_sh = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_b = sh.select(F.col("doc_id").alias("_db"),
+                     F.col("shingle").alias("_shb"))
+    inter = (cand
+             .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+             .join(sh_b, (F.col("doc_b") == F.col("_db"))
+                   & (F.col("shingle") == F.col("_shb")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(n_sh.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n", "n_a"), "doc_a")
+            .join(n_sh.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n", "n_b"), "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter")
+                                / (F.col("n_a") + F.col("n_b")
+                                   - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def _mh_sql_core() -> str:
+    sigs = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(_MH_SIGS))
+    r = _MH_SIGS // _MH_BANDS
+    band_sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f's{b * r + j}' for j in range(r))}) AS bucket "
+        f"FROM sig"
+        for b in range(_MH_BANDS))
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i+2), ' ') AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+       unnest(generate_series(1, len(w)-2)) AS g(i)),
+sig AS (
+  SELECT doc_id, {sigs}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{band_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(COUNT(*) AS DOUBLE) / (na.n + nb.n - COUNT(*)) AS j_raw
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN ns na ON na.doc_id = c.doc_a
+  JOIN ns nb ON nb.doc_id = c.doc_b
+  GROUP BY c.doc_a, c.doc_b, na.n, nb.n
+  HAVING CAST(COUNT(*) AS DOUBLE) / (na.n + nb.n - COUNT(*)) >= 0.5)
+""".strip()
+
+
+SQL_DOCS_MINHASH_VERIFIED = f"""
+WITH {_mh_sql_core()}
+SELECT doc_a, doc_b, ROUND(j_raw, 6) AS jaccard FROM verified
+"""
+
+
+def q_docs_dedup_clusters(spark, sf):
+    """Text-side cluster resolution: connected components over the
+    verified MinHash near-dup pairs (same min-label-propagation kernel as
+    the embedding family), emitting (doc_id, cluster_keeper)."""
+    pairs = q_docs_minhash_verified(spark, sf).select("doc_a", "doc_b")
+    return sim.label_propagation(pairs, "doc_a", "doc_b",
+                                 "doc_id", "cluster_keeper")
+
+
+SQL_DOCS_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_mh_sql_core()},
+und AS (SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified),
+verts AS (SELECT DISTINCT s AS v FROM und),
+reach(v, rt) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT und.d, reach.rt FROM reach JOIN und ON und.s = reach.v)
+SELECT v AS doc_id, MIN(rt) AS cluster_keeper FROM reach GROUP BY v
+"""
+
+
 def q_emb_cosine_topk(spark, sf):
     """Similarity search baseline: brute-force cosine top-10 vs the vec_id=0
     query vector — dot product via zip_with/aggregate (native, JVM-side)."""
@@ -835,6 +966,9 @@ QUERIES = {
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
+    "docs_minhash_verified": (q_docs_minhash_verified,
+                              SQL_DOCS_MINHASH_VERIFIED),
+    "docs_dedup_clusters": (q_docs_dedup_clusters, SQL_DOCS_DEDUP_CLUSTERS),
     "emb_cosine_topk": (q_emb_cosine_topk, SQL_EMB_COSINE_TOPK),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_ann_ivf": (sim.q_emb_ann_ivf, sim.SQL_EMB_ANN_IVF),

@@ -325,6 +325,37 @@ SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cosine FROM verified
 """
 
 
+def label_propagation(pairs: DataFrame, a: str, b: str,
+                      out_id: str, out_keeper: str) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation — pure DataFrame ops, localCheckpoint per round
+    (O(1) plans), only a scalar convergence count crosses to the driver.
+    Converges in O(component diameter) rounds; at 10^10 edges the same
+    loop runs with the large-star/small-star optimization."""
+    edges = pairs.select(F.col(a).alias("_s"), F.col(b).alias("_d")).union(
+        pairs.select(F.col(b).alias("_s"),
+                     F.col(a).alias("_d"))).localCheckpoint()
+    labels = (edges.select(F.col("_s").alias("_v")).distinct()
+              .withColumn("_lbl", F.col("_v")).localCheckpoint())
+    for _ in range(32):
+        nmin = (edges.join(labels, edges._d == labels._v)
+                .groupBy(F.col("_s").alias("_v"))
+                .agg(F.min("_lbl").alias("_nmin")))
+        new = (labels.join(nmin, "_v", "left")
+               .select("_v",
+                       F.least("_lbl",
+                               F.coalesce("_nmin", "_lbl")).alias("_lbl"),
+                       (F.col("_lbl") != F.least(
+                           "_lbl", F.coalesce("_nmin", "_lbl"))).alias("_chg"))
+               .localCheckpoint())
+        changed = new.filter("_chg").count()
+        labels = new.select("_v", "_lbl")
+        if changed == 0:
+            break
+    return labels.select(F.col("_v").alias(out_id),
+                         F.col("_lbl").alias(out_keeper))
+
+
 def q_dedup_clusters(spark, sf):
     """Dedup cluster resolution: connected components over the verified
     bucketed near-dup pairs via iterative min-label propagation — each
@@ -335,26 +366,8 @@ def q_dedup_clusters(spark, sf):
     the large-star/small-star optimization; diameter here is tiny.)
     Emits (vec_id, cluster_keeper=min vec_id of the component)."""
     pairs = q_emb_near_dup_bucketed(spark, sf).select("vec_a", "vec_b")
-    edges = pairs.union(
-        pairs.select(F.col("vec_b").alias("vec_a"),
-                     F.col("vec_a").alias("vec_b"))).localCheckpoint()
-    labels = (edges.select(F.col("vec_a").alias("vec_id")).distinct()
-              .withColumn("lbl", F.col("vec_id")).localCheckpoint())
-    for _ in range(32):
-        nmin = (edges.join(labels, edges.vec_b == labels.vec_id)
-                .groupBy(F.col("vec_a").alias("vec_id"))
-                .agg(F.min("lbl").alias("nmin")))
-        new = (labels.join(nmin, "vec_id", "left")
-               .select("vec_id",
-                       F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
-                       (F.col("lbl") != F.least(
-                           "lbl", F.coalesce("nmin", "lbl"))).alias("chg"))
-               .localCheckpoint())
-        changed = new.filter("chg").count()
-        labels = new.select("vec_id", "lbl")
-        if changed == 0:
-            break
-    return labels.select("vec_id", F.col("lbl").alias("cluster_keeper"))
+    return label_propagation(pairs, "vec_a", "vec_b",
+                             "vec_id", "cluster_keeper")
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -101,3 +101,31 @@ def test_events_hll_error_bound(spark):
         assert abs(r.approx_users - r.exact_users) <= \
             max(1, 0.05 * r.exact_users), (r.event_type, r.approx_users,
                                            r.exact_users)
+
+
+def test_minhash_verified_recall_vs_exact(spark, duck):
+    """Banded-MinHash candidates must catch every exact pair at the
+    verify threshold (fixture pairs sit at j>=0.89, where 4x4 banding is
+    near-certain: P(miss) = (1-j^4)^4 <= 3e-3). Precision is absolute
+    (candidates are exact-Jaccard verified)."""
+    exact = duck.execute("""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i+2), ' ')
+             AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+           unnest(generate_series(1, len(w)-2)) AS g(i)),
+    ns AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    p AS (SELECT a.doc_id da, b.doc_id db, COUNT(*) inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id GROUP BY 1,2)
+    SELECT da, db FROM p JOIN ns na ON na.doc_id=da
+                         JOIN ns nb ON nb.doc_id=db
+    WHERE CAST(inter AS DOUBLE)/(na.n+nb.n-inter) >= 0.5""").fetchall()
+    exact_set = set(map(tuple, exact))
+    got = {(r.doc_a, r.doc_b) for r in
+           QUERIES["docs_minhash_verified"][0](spark, SF_DIR).collect()}
+    assert len(exact_set) > 0
+    assert got <= exact_set                      # precision = 1
+    assert len(got & exact_set) / len(exact_set) >= 0.95   # measured 1.0
