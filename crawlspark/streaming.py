@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
     TimestampType,
 )
 
@@ -35,12 +35,15 @@ STREAM_SCHEMA = StructType([
 
 
 def crawl_order_stream(spark: SparkSession, run_dir: str,
-                       round_wall_s: float = 8.0) -> DataFrame:
+                       round_wall_s: float = 8.0,
+                       files_per_trigger: int = 8) -> DataFrame:
     """readStream over the append-only crawl_order table; synthesizes
     ``fetch_ts`` event time from (round, rank) so watermarking is
-    deterministic (no wall clock in verified paths)."""
+    deterministic (no wall clock in verified paths). Stateful consumers
+    pass files_per_trigger=1 so each committed round is one micro-batch
+    (the watermark advances round-by-round, closing sessions)."""
     src = (spark.readStream.schema(STREAM_SCHEMA)
-           .option("maxFilesPerTrigger", 8)
+           .option("maxFilesPerTrigger", files_per_trigger)
            .parquet(f"{run_dir}/data/crawl_order/*"))
     return src.withColumn(
         "fetch_ts",
@@ -75,3 +78,77 @@ def run_available_now(agg: DataFrame, out_dir: str) -> None:
          .option("path", f"{out_dir}/out")
          .start())
     q.awaitTermination()
+
+
+def host_sessions(stream: DataFrame, gap_s: int = 10,
+                  late_s: int = 4) -> DataFrame:
+    """Custom STATEFUL streaming operator (U1/Q5 extension, r2): per-host
+    crawl-activity sessions via ``applyInPandasWithState`` — a session is
+    a run of fetches for one host with no gap > ``gap_s`` of event time;
+    closed sessions are emitted when the watermark passes session_end +
+    gap (EventTimeTimeout) or when a new batch opens a later session.
+
+    This is the arbitrary-stateful-processing shape Spark reserves for
+    logic windows can't express: the state (session start/end/count) lives
+    in the state store, keyed by host, Arrow-batched in and out — no
+    per-row Python at the Spark row level. Sessions still open at the end
+    of an AvailableNow drain remain in state (they would emit on the next
+    trigger of a continuous run) — tests assert on the CLOSED subset.
+    """
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    out_schema = StructType([
+        StructField("host", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_fetches", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        host = key[0]
+
+        def emit(start, last, n):
+            return pd.DataFrame({
+                "host": [host],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_fetches": [int(n)],
+            })
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(start, last, n)
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows["fetch_ts"].map(pd.Timestamp.timestamp).sort_values()
+        tmin, tmax, cnt = float(ts.iloc[0]), float(ts.iloc[-1]), len(ts)
+        if state.exists:
+            start, last, n = state.get
+            if tmin - last > gap_s:
+                # batch starts a NEW session: close the old one now
+                state.update((tmin, tmax, cnt))
+                state.setTimeoutTimestamp(int((tmax + gap_s) * 1000))
+                yield emit(start, last, n)
+                return
+            state.update((start, max(last, tmax), n + cnt))
+        else:
+            state.update((tmin, tmax, cnt))
+        state.setTimeoutTimestamp(int((state.get[1] + gap_s) * 1000))
+        return
+
+    return (stream
+            .withWatermark("fetch_ts", f"{late_s} seconds")
+            .groupBy("host")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -75,3 +75,42 @@ def test_stream_complete_mode_total_matches_engine_state(spark, engine_run):
     total = int(spark.sql(
         "SELECT COALESCE(SUM(count), 0) FROM crawl_totals").collect()[0][0])
     assert total == manifest["state"]["total_fetched"] > 0
+
+
+def test_stateful_host_sessions(spark, engine_run, tmp_path):
+    """applyInPandasWithState sessionization: every CLOSED session emitted
+    by the stateful operator must exactly match the pandas-computed
+    session for that (host, session_start); sessions still open at drain
+    end stay in state (append-mode semantics). At least one session must
+    close on this graph."""
+    eng, manifest = engine_run
+    stream = cs.crawl_order_stream(spark, eng.store.root,
+                                   files_per_trigger=1)
+    sess = cs.host_sessions(stream, gap_s=10, late_s=LATE_S)
+    out = str(tmp_path / "sess_out")
+    cs.run_available_now(sess, out)
+    got = spark.read.parquet(f"{out}/out").toPandas()
+    assert len(got) > 0
+
+    # pandas ground truth: per-host gap-split sessions over all fetches
+    co = eng.crawl_order_df(manifest).toPandas()
+    co["fetch_ts"] = (1_600_000_000 + co["round"].astype(float) * 8.0
+                      + (co["rank"].astype(float) % 8.0))
+    expected = {}
+    for host, grp in co.groupby("host"):
+        ts = grp["fetch_ts"].sort_values().to_numpy()
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > 10:
+                expected[(host, round(start, 3))] = (round(last, 3), n)
+                start, n = t, 0
+            last = t
+            n += 1
+        expected[(host, round(start, 3))] = (round(last, 3), n)
+
+    for r in got.itertuples():
+        key = (r.host, round(r.session_start.timestamp(), 3))
+        assert key in expected, key
+        want_end, want_n = expected[key]
+        assert round(r.session_end.timestamp(), 3) == want_end
+        assert r.n_fetches == want_n
