@@ -457,6 +457,46 @@ FROM documents GROUP BY lang
 """
 
 
+# BPE-ish pre-tokenizer (GPT-2-style contractions + space-prefixed
+# letter/digit/punct runs, lookahead-free so Java regex and RE2 agree —
+# parity verified at sf0.001/sf0.01)
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def q_docs_token_bpe(spark, sf):
+    """Token counting, BPE-ish path: a GPT-2-style pre-tokenizer regex
+    (contractions, space-prefixed letter/digit/punctuation runs) next to
+    the whitespace count — the token-budget accounting a training-data
+    pipeline actually runs (subword counts ~= BPE pre-tokens)."""
+    d = _t(spark, sf, "documents")
+    toks = (d.withColumn(
+                "n_bpe",
+                F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT),
+                                            F.lit(0))).cast("long"))
+            .withColumn("n_ws",
+                        F.size(F.split(F.trim("text"), "\\s+")).cast("long")))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_bpe").alias("total_bpe_tokens"),
+                 F.sum("n_ws").alias("total_ws_tokens"),
+                 F.round(F.avg(F.col("n_bpe") / F.col("n_ws")), 6)
+                 .alias("avg_bpe_per_word")))
+
+
+SQL_DOCS_TOKEN_BPE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}',
+                                       0))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS total_ws_tokens,
+       ROUND(AVG(CAST(len(regexp_extract_all(text,
+                 '{_BPE_PAT.replace("'", "''")}', 0)) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\\s+'))), 6)
+           AS avg_bpe_per_word
+FROM documents GROUP BY lang
+"""
+
+
 def q_docs_quality(spark, sf):
     """Quality scoring: length/alpha-ratio/mean-word-length heuristics."""
     d = _t(spark, sf, "documents")
@@ -963,6 +1003,7 @@ QUERIES = {
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
+    "docs_token_bpe": (q_docs_token_bpe, SQL_DOCS_TOKEN_BPE),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
     "docs_langid": (q_docs_langid, SQL_DOCS_LANGID),
     "docs_ngram_pairs": (q_docs_ngram_pairs, SQL_DOCS_NGRAM_PAIRS),
