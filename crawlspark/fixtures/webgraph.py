@@ -94,7 +94,8 @@ def _mess_up(rng: random.Random, url_canon: str, same_host: bool) -> str:
 
 
 def generate(n_pages: int = 300, seed: int = 42,
-             chain_len: int = 25) -> dict[str, pd.DataFrame]:
+             chain_len: int = 25, with_cookies: bool = True,
+             with_nofollow: bool = True) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
     n_small = max(4, n_pages // 40)
     hosts = _hosts(n_small)
@@ -141,7 +142,8 @@ def generate(n_pages: int = 300, seed: int = 42,
     # independent stream: cookie layout must not perturb the page/status/
     # link draws (the failure-mode coverage of the rest of the graph)
     crng = random.Random(seed ^ 0xC00C1E)
-    cookie_hosts = {h for h in hosts if crng.random() < 0.5}
+    cookie_hosts = {h for h in hosts
+                    if crng.random() < 0.5} if with_cookies else set()
     cookie_set_done: set[str] = set()
     # --- per-page rows
     rows = []
@@ -209,7 +211,7 @@ def generate(n_pages: int = 300, seed: int = 42,
         # ~12% of links demote to rel=nofollow (otherwise-valid targets
         # the extractor must skip [S:scrapy/linkextractors/lxmlhtml.py])
         nofollow: list[str] = []
-        if len(hrefs) >= 3 and rng.random() < 0.5:
+        if with_nofollow and len(hrefs) >= 3 and rng.random() < 0.5:
             nofollow.append(hrefs.pop(rng.randrange(len(hrefs))))
         # the first mega-root links into the 301 chain (X11 cap fodder).
         # NOTE: the chain advances ONE hop per round (each redirect target
@@ -326,9 +328,11 @@ def default_config() -> CrawlConfig:
 
 def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
                   config: CrawlConfig | None = None,
-                  chain_len: int = 25) -> CrawlConfig:
+                  chain_len: int = 25, with_cookies: bool = True,
+                  with_nofollow: bool = True) -> CrawlConfig:
     os.makedirs(out_dir, exist_ok=True)
-    dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len)
+    dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len,
+                   with_cookies=with_cookies, with_nofollow=with_nofollow)
     pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
                                         preserve_index=False),
                    os.path.join(out_dir, "pages.parquet"))
