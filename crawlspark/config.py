@@ -87,6 +87,22 @@ class CrawlConfig:
                                             # feed AutoThrottle (they skip the
                                             # download slot). Requires a
                                             # cache_dir on the engine.
+    frontier_deltas: bool = False           # C1 frontier storage mode:
+                                            # False = full rewrite per round
+                                            # (simple; write cost O(frontier)
+                                            # per round). True = merge-on-read
+                                            # deltas (Iceberg-MOR shape): each
+                                            # round appends O(round) add/
+                                            # remove events; reads resolve
+                                            # latest-event-wins per
+                                            # fingerprint; a full base is
+                                            # compacted every
+                                            # frontier_compact_every rounds.
+                                            # At the 10^10 design point the
+                                            # delta mode is mandatory —
+                                            # rewriting a 10-TB frontier per
+                                            # round is not.
+    frontier_compact_every: int = 8         # delta-mode compaction cadence
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

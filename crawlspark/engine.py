@@ -131,6 +131,12 @@ HOST_STATE_SCHEMA = StructType([
 
 SHARDS_SCHEMA = "shard int, bits binary"
 
+# C1 frontier-delta mode: FRONTIER rows + event metadata; removals carry
+# null payloads (only the fingerprint matters for latest-event-wins)
+FRONTIER_DELTA_SCHEMA = StructType(
+    list(FRONTIER_SCHEMA) + [StructField("ev_round", IntegerType()),
+                             StructField("ev_add", StringType())])
+
 
 def _offsite_regex(domains: tuple[str, ...]) -> str | None:
     if not domains:
@@ -283,7 +289,8 @@ class CrawlEngine:
         state = {"next_seq": n_seeds, "next_rank": 1, "total_fetched": 0,
                  "config": cfg.to_dict(), "pending": n_distinct}
         frontier.unpersist()
-        for t in ("documents", "crawl_order", "metrics", "lineage"):
+        for t in ("documents", "crawl_order", "metrics", "lineage",
+                  "frontier_delta"):
             tables[t] = []
         self.store.commit(-1, state, tables)
         return self.store.latest()
@@ -318,6 +325,33 @@ class CrawlEngine:
         return (shards_df.groupby("shard")
                 .cogroup(addr.groupby("bloom_shard"))
                 .applyInPandas(merge, schema=SHARDS_SCHEMA))
+
+    def _read_frontier(self, manifest: dict) -> DataFrame:
+        """C1 frontier read. Delta mode resolves merge-on-read: base rows
+        (ev_round=-1) union the per-round add/remove events; per
+        fingerprint the latest (ev_round, add-beats-remove) event wins and
+        only 'add' survivors are pending. The resolve shuffle is
+        O(base + deltas); compaction every frontier_compact_every rounds
+        rewrites the base and truncates the delta list (Iceberg-MOR
+        compaction semantics; here the compacted base is the frontier_next
+        DataFrame the round already computed)."""
+        spark, cfg = self.spark, self.cfg
+        base = self.store.read(spark, manifest, "frontier", FRONTIER_SCHEMA)
+        if not cfg.frontier_deltas:
+            return base
+        dpaths = (manifest or {}).get("tables", {}).get("frontier_delta", [])
+        if not dpaths:
+            return base
+        d = self.store.read(spark, manifest, "frontier_delta",
+                            FRONTIER_DELTA_SCHEMA)
+        b = base.withColumn("ev_round", F.lit(-1)) \
+            .withColumn("ev_add", F.lit("a"))
+        w = Window.partitionBy("fingerprint").orderBy(
+            F.col("ev_round").desc(), F.col("ev_add").asc())
+        return (b.unionByName(d)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & (F.col("ev_add") == "a"))
+                .select(*[f.name for f in FRONTIER_SCHEMA]))
 
     def _read_cache(self) -> DataFrame:
         dirs = [os.path.join(self.cache_dir, d)
@@ -378,7 +412,7 @@ class CrawlEngine:
         st = manifest["state"]
         next_seq, next_rank = st["next_seq"], st["next_rank"]
 
-        frontier = self.store.read(spark, manifest, "frontier", FRONTIER_SCHEMA)
+        frontier = self._read_frontier(manifest)
         seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
         host_state = self.store.read(spark, manifest, "host_state",
                                      HOST_STATE_SCHEMA)
@@ -822,9 +856,31 @@ class CrawlEngine:
         # collect job.
         tables = {k: list(v) for k, v in manifest["tables"].items()}
         ver = rnd + 1
+        # C1 frontier persistence: full rewrite, or (delta mode) O(round)
+        # add/remove events with periodic base compaction
+        compacting = (not cfg.frontier_deltas) or \
+            (rnd % cfg.frontier_compact_every == 0)
+        if cfg.frontier_deltas and not compacting:
+            _null = lambda f: F.lit(None).cast(f.dataType).alias(f.name)  # noqa: E731
+            removals = (sel.select("fingerprint")
+                        .unionByName(fr.filter(~F.col("_allowed"))
+                                     .select("fingerprint"))
+                        .select("fingerprint",
+                                *[_null(f) for f in FRONTIER_SCHEMA
+                                  if f.name != "fingerprint"])
+                        .withColumn("ev_add", F.lit("r")))
+            adds = retries.unionByName(new_frontier_rows) \
+                .withColumn("ev_add", F.lit("a"))
+            frontier_delta = adds.unionByName(removals) \
+                .withColumn("ev_round", F.lit(rnd).cast("int")) \
+                .select(*[f.name for f in FRONTIER_DELTA_SCHEMA])
+            frontier_write = ("frontier_delta", frontier_delta.coalesce(1),
+                              False)
+        else:
+            frontier_write = ("frontier", frontier_next, True)
         # per-round deltas are bounded by round_cap — single file each
         writes: list[tuple[str, DataFrame, bool]] = [
-            ("frontier", frontier_next, True),
+            frontier_write,
             ("host_state", host_state_next.coalesce(1), True),
             ("cookie_state", cookie_next.coalesce(1), True),
             ("seen", seen_delta.coalesce(1), False),
@@ -860,6 +916,8 @@ class CrawlEngine:
         for name, _, full in writes:
             tables[name] = [paths[name]] if full \
                 else tables.get(name, []) + [paths[name]]
+        if cfg.frontier_deltas and compacting:
+            tables["frontier_delta"] = []   # base now carries full state
 
         m_pd = pd.read_parquet(paths["metrics"])
         sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 FULL_REWRITE = {"frontier", "host_state", "cookie_state", "seen_shards"}
-APPEND_ONLY = {"seen", "documents", "crawl_order", "metrics", "lineage"}
+APPEND_ONLY = {"seen", "documents", "crawl_order", "metrics", "lineage",
+               "frontier_delta"}
 
 
 class SnapshotStore:

@@ -66,10 +66,14 @@ def crawl_config():
 
 def ensure_fixture(n_pages: int) -> str:
     from crawlspark.fixtures.webgraph import write_fixture
+    # workload-pure graph (no cookie gating / nofollow demotion / 301
+    # chain): scaling measures the engine, not feature-induced changes in
+    # discovery volume — same choice as bench.py
     fx = os.path.join(tempfile.gettempdir(),
-                      f"crawlspark_scaling_fx_{n_pages}")
+                      f"crawlspark_scaling_fx_v4_{n_pages}")
     if not os.path.isdir(fx):
-        write_fixture(fx, n_pages=n_pages, seed=42, config=crawl_config())
+        write_fixture(fx, n_pages=n_pages, seed=42, config=crawl_config(),
+                      chain_len=0, with_cookies=False, with_nofollow=False)
     return fx
 
 
