@@ -129,6 +129,15 @@ def _cos(a: str, b: str) -> F.Column:
                   f" (acc, v) -> acc + v) / ({n(a)} * {n(b)})")
 
 
+_NORM_EXPR = ("sqrt(aggregate(transform({c}, x -> x * x), 0D,"
+              " (acc, v) -> acc + v))")
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+                  f" (acc, v) -> acc + v)")
+
+
 # ---------------------------------------------------------------------
 # ANN via packed binary sketch + Hamming shortlist + exact re-rank
 # ---------------------------------------------------------------------
@@ -189,13 +198,19 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 def _ivf_assign(e: DataFrame, k: int, nlist: int = IVF_NLIST) -> DataFrame:
     """Top-k centroid assignment; centroids are the vec_id<nlist vectors
-    (deterministic — production would plug k-means centroids in here)."""
-    cents = e.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"))
+    (deterministic — production would plug k-means centroids in here).
+    Norms are hoisted to per-row columns (computed once per vector /
+    centroid, not inside every pair fold) — the same fold expression on
+    the same data, so values are FP-identical to the inline form."""
+    en = e.withColumn("_nv", F.expr(_NORM_EXPR.format(c="emb")))
+    cents = en.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"),
+        F.col("_nv").alias("_nc"))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                              F.col("cent_id").asc())
-    return (_xjoin(e, "vec_id", cents, "cent_id")
-            .withColumn("c_cos", _cos("emb", "cent"))
+    return (_xjoin(en, "vec_id", cents, "cent_id")
+            .withColumn("c_cos",
+                        _dot("emb", "cent") / (F.col("_nv") * F.col("_nc")))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
             .select("vec_id", "label", "emb", "cent_id"))
@@ -292,11 +307,15 @@ def q_emb_near_dup_bucketed(spark, sf):
              .select(F.col("a.vec_id").alias("vec_a"),
                      F.col("b.vec_id").alias("vec_b"))
              .distinct())
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    en = e.withColumn("_nv", F.expr(_NORM_EXPR.format(c="emb")))
+    ea = en.select(F.col("vec_id").alias("vec_a"),
+                   F.col("emb").alias("emb_a"), F.col("_nv").alias("_na"))
+    eb = en.select(F.col("vec_id").alias("vec_b"),
+                   F.col("emb").alias("emb_b"), F.col("_nv").alias("_nb"))
     return (pairs.join(F.broadcast(ea), "vec_a")
             .join(F.broadcast(eb), "vec_b")
-            .withColumn("cosine", _cos("emb_a", "emb_b"))
+            .withColumn("cosine",
+                        _dot("emb_a", "emb_b") / (F.col("_na") * F.col("_nb")))
             .filter(F.col("cosine") >= NEAR_DUP_COS)
             .select("vec_a", "vec_b",
                     F.round("cosine", 6).alias("cosine")))
