@@ -43,7 +43,7 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_crawl(spark, sf: float, rounds: int) -> dict:
+def bench_crawl(spark, sf: float, rounds: int, warm: bool = True) -> dict:
     from crawlspark.config import CrawlConfig
     from crawlspark.engine import CrawlEngine
     from crawlspark.fixtures.webgraph import MEGA_HOSTS, write_fixture
@@ -68,12 +68,14 @@ def bench_crawl(spark, sf: float, rounds: int) -> dict:
     # tiny rounds: AQE's per-stage replanning costs more than it saves
     # (skew is handled by explicit J6 salting); cluster deploys keep AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    # JIT/codegen warmup: 2 untimed rounds on a throwaway run dir
-    warm_dir = tempfile.mkdtemp(prefix="crawlspark_bench_warm_")
-    try:
-        CrawlEngine(spark, fx_dir, warm_dir, cfg).run(max_rounds=2)
-    finally:
-        shutil.rmtree(warm_dir, ignore_errors=True)
+    # JIT/codegen warmup: 2 untimed rounds on a throwaway run dir (first
+    # trial only — JIT state persists in the JVM across trials)
+    if warm:
+        warm_dir = tempfile.mkdtemp(prefix="crawlspark_bench_warm_")
+        try:
+            CrawlEngine(spark, fx_dir, warm_dir, cfg).run(max_rounds=2)
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix="crawlspark_bench_run_")
     try:
         eng = CrawlEngine(spark, fx_dir, run_dir, cfg)
@@ -100,6 +102,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rounds = int(os.environ.get("CRAWLSPARK_BENCH_ROUNDS", "6"))
+    n_trials = int(os.environ.get("CRAWLSPARK_BENCH_TRIALS", "3"))
     sf = sf_of(sf_dir)
 
     from crawlspark.queries import QUERIES
@@ -119,12 +122,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        df = fn(spark, sf_dir)   # fresh DAG — no shuffle-reuse from warmup
+        # the timer brackets fn() AND the count: queries that do eager
+        # driver-side work inside fn (the label-propagation loops run
+        # per-iteration counts) are charged their real cost (VERDICT r02
+        # finding #3 — timing only count() flattered the cluster queries)
         t0 = time.time()
-        df.count()
+        fn(spark, sf_dir).count()   # fresh DAG — no shuffle-reuse
         timings[name] = round(time.time() - t0, 3)
 
-    crawl = bench_crawl(spark, sf, rounds)
+    # median-of-N crawl trials: single-trial numbers on this shared host
+    # swing +-40% (BENCH/BASELINE.md variance notes); the driver-recorded
+    # number should corroborate the documented band, not sample the noise
+    trials = [bench_crawl(spark, sf, rounds, warm=(i == 0))
+              for i in range(n_trials)]
+    trials.sort(key=lambda c: c["seconds"])
+    crawl = trials[len(trials) // 2]
+    crawl["trial_seconds"] = [c["seconds"] for c in trials]
     timings["crawl"] = crawl["seconds"]
 
     out = {

@@ -596,12 +596,15 @@ def q_docs_ngram_pairs(spark, sf):
                   .withColumnRenamed("n", "n_a"), "doc_a")
             .join(n_sh.withColumnRenamed("doc_id", "doc_b")
                   .withColumnRenamed("n", "n_b"), "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter")
-                                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
-                                6))
-            .filter(F.col("jaccard") >= 0.05)
-            .select("doc_a", "doc_b", "inter", "jaccard"))
+            # filter on the RAW ratio, round only in the projection — the
+            # DuckDB oracle's HAVING also tests raw, so a pair with raw
+            # jaccard in [0.049..95, 0.05) is excluded by BOTH engines
+            .withColumn("j_raw",
+                        F.col("inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .filter(F.col("j_raw") >= 0.05)
+            .select("doc_a", "doc_b", "inter",
+                    F.round("j_raw", 6).alias("jaccard")))
 
 
 SQL_DOCS_NGRAM_PAIRS = """
@@ -680,12 +683,14 @@ def q_docs_minhash_verified(spark, sf):
                   .withColumnRenamed("n", "n_a"), "doc_a")
             .join(n_sh.withColumnRenamed("doc_id", "doc_b")
                   .withColumnRenamed("n", "n_b"), "doc_b")
-            .withColumn("jaccard",
-                        F.round(F.col("inter")
-                                / (F.col("n_a") + F.col("n_b")
-                                   - F.col("inter")), 6))
-            .filter(F.col("jaccard") >= 0.5)
-            .select("doc_a", "doc_b", "jaccard"))
+            # raw-ratio filter + round-in-projection, mirroring the SQL
+            # oracle's HAVING on j_raw (boundary-exact parity: ADVICE r02)
+            .withColumn("j_raw",
+                        F.col("inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .filter(F.col("j_raw") >= 0.5)
+            .select("doc_a", "doc_b",
+                    F.round("j_raw", 6).alias("jaccard")))
 
 
 def _mh_sql_core() -> str:

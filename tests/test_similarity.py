@@ -146,3 +146,35 @@ def test_dedup_clusters_planted_ground_truth(spark, planted_dir):
            QUERIES["dedup_clusters"][0](spark, planted_dir).collect()}
     agree = sum(1 for v, k in got.items() if truth.get(v) == k)
     assert agree / max(len(got), 1) >= 0.95
+
+
+def test_label_propagation_long_chain_converges(spark):
+    """VERDICT r02 finding #1: the old loop silently capped at 32
+    iterations, returning WRONG labels for any component with diameter
+    > 32. Plant a 48-vertex path graph (diameter 47, needing ~47
+    min-label rounds) plus a disjoint triangle: every vertex must get the
+    true component minimum, matching union-find exactly."""
+    from crawlspark.similarity import label_propagation
+
+    chain = [(i, i + 1) for i in range(47)]          # path 0-1-...-47
+    tri = [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain + tri, "a long, b long")
+    got = {r.vid: r.keeper for r in
+           label_propagation(pairs, "a", "b", "vid", "keeper").collect()}
+    truth = _union_find(set(chain + tri))
+    assert got == truth
+    assert all(got[v] == 0 for v in range(48))
+    assert all(got[v] == 100 for v in (100, 101, 102))
+
+
+def test_label_propagation_raises_on_cap(spark):
+    """The defensive bound RAISES instead of returning non-converged
+    labels (no silent wrong-answer path)."""
+    import pytest as _pytest
+
+    from crawlspark.similarity import label_propagation
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                  "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation(pairs, "a", "b", "v", "k", max_iters=3)
