@@ -226,6 +226,14 @@ class CrawlEngine:
             if not cache_dir:
                 raise ValueError("cfg.http_cache requires a cache_dir")
             os.makedirs(cache_dir, exist_ok=True)
+            # reclaim staging dirs orphaned by a crash between cache write
+            # and snapshot commit (single-writer-per-cache_dir contract —
+            # concurrent runs must not share a cache_dir)
+            import shutil as _sh
+            for d in os.listdir(cache_dir):
+                if d.startswith(".tmp-"):
+                    _sh.rmtree(os.path.join(cache_dir, d),
+                               ignore_errors=True)
         self.canon_udf, self.abs_udf, self.host_udf = make_udfs()
         self.robots_udf = make_robots_udf()
         self._offsite_re = _offsite_regex(cfg.allowed_domains)
@@ -366,12 +374,23 @@ class CrawlEngine:
                          F.col("redirect_to").alias("c_redirect"),
                          F.col("body_html").alias("c_body"))
 
-    def _write_cache(self, df: DataFrame, ver: int) -> None:
+    def _write_cache(self, df: DataFrame, ver: int) -> tuple[str, str]:
+        """Stage the round's cacheable responses into a hidden ``.tmp-``
+        dir; the caller renames it to its visible ``r...`` name only AFTER
+        the snapshot commit succeeds. A kill anywhere before the rename
+        leaves only a hidden dir that ``_read_cache`` never lists, so a
+        re-executed (uncommitted) round can never see its own responses as
+        cache hits — the 're-run of a committed round is a no-op'
+        invariant holds for the cache exactly as for the tables (ADVICE
+        r02: the pre-r3 publish-before-commit ordering broke it). The
+        only loss mode is a kill between commit and rename: that round's
+        entries are dropped from the cache — a cache miss, never a
+        semantics change."""
         import uuid
         tmp = os.path.join(self.cache_dir, f".tmp-{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.cache_dir,
-                                    f"r{ver:06d}-{uuid.uuid4().hex[:8]}"))
+        return tmp, os.path.join(self.cache_dir,
+                                 f"r{ver:06d}-{uuid.uuid4().hex[:8]}")
 
     def _shard_bits(self, manifest: dict) -> dict[int, bytes]:
         """Shard bytes for the committed round — from the driver cache when
@@ -910,8 +929,8 @@ class CrawlEngine:
                             "redirect_to", "body_html"))
                 cache_fut = pool.submit(self._write_cache, to_cache, ver)
             paths = {name: f.result() for name, f in futs.items()}
-            if cache_fut is not None:
-                cache_fut.result()
+            cache_stage = cache_fut.result() if cache_fut is not None \
+                else None
         _t["writes"] = time.time() - _t1
         for name, _, full in writes:
             tables[name] = [paths[name]] if full \
@@ -956,6 +975,8 @@ class CrawlEngine:
             self._shard_cache = (rnd, new_bits)
         _t["shards_commit"] = time.time() - _t1 - _t["writes"]
         self.store.commit(rnd, state, tables)
+        if use_cache and cache_stage is not None:
+            os.rename(*cache_stage)   # publish cache ONLY after commit
         self.last_timings = _t
 
         for df in (fr, host_round, batch, extracted, items, c, new_rows,

@@ -112,3 +112,50 @@ def test_recrawl_documents_identical_despite_dead_network(cache_setup):
 def test_cache_off_unchanged_by_flag_default():
     cfg = default_config()
     assert cfg.http_cache is False
+
+
+def test_cache_publish_transactional_with_commit(spark, tmp_path_factory):
+    """ADVICE r02 (medium): a kill between the cache write and the
+    snapshot commit must NOT leave the crashed round's responses in the
+    cache — otherwise the re-executed round sees its own fingerprints as
+    hits (budget bypass, different dequeue order) and resume diverges
+    from the oracle.
+
+    Crash injection: store.commit raises on round 2 AFTER the table/cache
+    writes ran. The resumed run must (a) see zero cache hits — nothing
+    the crashed round wrote was published — and (b) reproduce the
+    oracle's crawl order exactly."""
+    cfg = _cfg()
+    fx = str(tmp_path_factory.mktemp("txn_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    oracle = simulate(pdfs, cfg, cache={})
+
+    cache_dir = str(tmp_path_factory.mktemp("txn_cache"))
+    run_dir = str(tmp_path_factory.mktemp("txn_run"))
+    eng1 = CrawlEngine(spark, fx, run_dir, cfg, cache_dir=cache_dir)
+    real_commit = eng1.store.commit
+
+    def crashing_commit(rnd, state, tables):
+        if rnd == 2:
+            raise RuntimeError("injected crash before commit")
+        real_commit(rnd, state, tables)
+
+    eng1.store.commit = crashing_commit
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng1.run()
+
+    # nothing from the crashed round was published to the cache
+    import os
+    assert all(not d.startswith("r") or d < "r000003"
+               for d in os.listdir(cache_dir) if not d.startswith("."))
+
+    eng2 = CrawlEngine(spark, fx, run_dir, cfg, cache_dir=cache_dir)
+    man2 = eng2.run(resume=True)
+    got = _order(eng2, man2)
+    want = pd.DataFrame(oracle.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    m = eng2.metrics_df(man2).toPandas()
+    assert m.cached.sum() == 0   # first crawl: the cache never serves
