@@ -54,9 +54,12 @@ ANN_BITS = 256              # sketch width (4 packed BIGINT words)
 ANN_SHORTLIST = 100         # Hamming shortlist size C before exact re-rank
 EMB_DIM = 64
 NEAR_DUP_COS = 0.45         # exact-verify threshold (fixture max ~0.51)
-IVF_NLIST = 16              # centroids = vectors with vec_id < 16
-IVF_NPROBE = 4              # query-side multiprobe cells
+IVF_NLIST = 16              # ANN cell count (fixed for the top-k path)
+IVF_NPROBE = 6              # query-side multiprobe cells
+IVF_ANN_ASSIGN = 2          # ANN data-side multi-assignment cells
 IVF_ASSIGN = 3              # near-dup multi-assignment cells per vector
+KM_TAG = "cs-kmeans"        # seeded k-means init namespace
+KM_ITERS = 2                # Lloyd refinement iterations (unrolled in SQL)
 
 _EVEN_HEX = "('0','2','4','6','8','a','c','e')"
 
@@ -196,19 +199,114 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 # IVF assignment (shared by multiprobe ANN and bucketed near-dup)
 # ---------------------------------------------------------------------
 
-def _ivf_assign(e: DataFrame, k: int, nlist: int = IVF_NLIST) -> DataFrame:
-    """Top-k centroid assignment; centroids are the vec_id<nlist vectors
-    (deterministic — production would plug k-means centroids in here).
+def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
+    """Deterministic seeded k-means (VERDICT r02 #2 — replaces the
+    fixture-friendly 'first nlist vec_ids' rule): init = the ``nlist``
+    vectors with the smallest md5("cs-kmeans:"||vec_id) — a seeded
+    uniform sample, so centroids are data-representative — refined by
+    ``KM_ITERS`` Lloyd iterations (assign to max-cosine centroid, new
+    centroid = elementwise mean of members). Every float op is pinned to
+    an order DuckDB reproduces bit-identically: member values are summed
+    by a LEFT FOLD in vec_id order (Spark: aggregate over
+    array_sort(collect_list(struct(vec_id, v))); DuckDB: list_sum over
+    list(v ORDER BY vec_id) — verified bit-equal), then divided by the
+    member count; an emptied cluster keeps its previous centroid.
+
+    Input ``en`` must carry (vec_id, emb). Returns (cent_id, cent) with
+    cent_id = 0..nlist-1 in init-hash order. Scale: assignment is
+    n x nlist cosines per iteration — O(n^1.5) FLOPs at nlist ~= sqrt(n)
+    (FAISS convention); the mean is two bounded shuffles over n x dim
+    value rows. At 10^10 rows the same code trains on a seeded hash
+    sample (md5 rule composes) and broadcasts the centroids."""
+    init = (en.select("vec_id", "emb")
+            .withColumn("_h", F.md5(F.concat(F.lit(KM_TAG + ":"),
+                                             F.col("vec_id").cast("string"))))
+            .orderBy("_h", "vec_id").limit(nlist))
+    w0 = Window.orderBy("_h", "vec_id")    # nlist rows only — bounded sort
+    # localCheckpoint after every refinement: the centroid table is nlist
+    # rows, but each iteration's plan embeds the previous one several
+    # times over — truncation keeps plans O(1) and makes the table
+    # reusable downstream (assignment + query probe) without recompute
+    cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
+             .select("cent_id", F.col("emb").alias("cent"))
+             .localCheckpoint())
+    w_a = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
+                                               F.col("cent_id").asc())
+    for _ in range(KM_ITERS):
+        cn = cents.withColumn("_nc", F.expr(_NORM_EXPR.format(c="cent")))
+        asg = (_xjoin(en.select("vec_id", "emb", "_nv"), "vec_id",
+                      cn, "cent_id")
+               .withColumn("c_cos", _dot("emb", "cent")
+                           / (F.col("_nv") * F.col("_nc")))
+               .withColumn("rn", F.row_number().over(w_a))
+               .filter(F.col("rn") == 1)
+               .select("vec_id", "cent_id", "emb"))
+        means = (asg.select("cent_id", "vec_id",
+                            F.posexplode("emb").alias("pos", "v"))
+                 .groupBy("cent_id", "pos")
+                 .agg((F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+                     F.lit(0.0),
+                     lambda acc, s: acc + s["v"]) / F.count("*")).alias("m"))
+                 .groupBy("cent_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("newc")))
+        cents = (cents.join(means, "cent_id", "left")
+                 .select("cent_id",
+                         F.coalesce("newc", "cent").alias("cent"))
+                 .localCheckpoint())
+    return cents
+
+
+def _sql_kmeans(nlist: str, iters: int = KM_ITERS) -> str:
+    """CTE chain mirroring kmeans_centroids bit-for-bit; expects an ``e``
+    CTE with (vec_id, emb) in scope. Emits ``cents(cent_id, cent)``."""
+    parts = [f"""
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY _h, vec_id) - 1 AS cent_id,
+         emb AS cent
+  FROM (SELECT md5('{KM_TAG}:' || vec_id) AS _h, vec_id, emb
+        FROM e ORDER BY _h, vec_id LIMIT {nlist}))""".strip()]
+    for t in range(iters):
+        parts.append(f"""
+a{t} AS (
+  SELECT vec_id, emb, cent_id FROM (
+    SELECT e.vec_id, e.emb, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(list_cosine_similarity(e.emb, c.cent) AS DOUBLE)
+                      DESC, c.cent_id ASC) AS rn
+    FROM e CROSS JOIN c{t} c)
+  WHERE rn = 1),
+m{t} AS (
+  SELECT cent_id, pos, list_sum(list(v ORDER BY vec_id)) / COUNT(*) AS m
+  FROM (SELECT a.cent_id, a.vec_id, g.pos, a.emb[g.pos] AS v
+        FROM a{t} a, unnest(generate_series(1, {EMB_DIM})) g(pos))
+  GROUP BY cent_id, pos),
+c{t + 1} AS (
+  SELECT c.cent_id, COALESCE(n.newc, c.cent) AS cent
+  FROM c{t} c LEFT JOIN
+       (SELECT cent_id, list(m ORDER BY pos) AS newc
+        FROM m{t} GROUP BY cent_id) n USING (cent_id))""".strip())
+    parts.append(f"cents AS (SELECT cent_id, cent FROM c{iters})")
+    return ",\n".join(parts)
+
+
+def _ivf_assign(e: DataFrame, k: int, nlist: int = IVF_NLIST,
+                cents: DataFrame | None = None) -> DataFrame:
+    """Top-k centroid assignment against the seeded-k-means centroids.
     Norms are hoisted to per-row columns (computed once per vector /
     centroid, not inside every pair fold) — the same fold expression on
     the same data, so values are FP-identical to the inline form."""
     en = e.withColumn("_nv", F.expr(_NORM_EXPR.format(c="emb")))
-    cents = en.filter(F.col("vec_id") < nlist).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"),
-        F.col("_nv").alias("_nc"))
+    if cents is None:
+        cents = kmeans_centroids(en, nlist)
+    cn = cents.select("cent_id", "cent") \
+        .withColumn("_nc", F.expr(_NORM_EXPR.format(c="cent")))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                              F.col("cent_id").asc())
-    return (_xjoin(en, "vec_id", cents, "cent_id")
+    return (_xjoin(en, "vec_id", cn, "cent_id")
             .withColumn("c_cos",
                         _dot("emb", "cent") / (F.col("_nv") * F.col("_nc")))
             .withColumn("rn", F.row_number().over(w))
@@ -219,8 +317,7 @@ def _ivf_assign(e: DataFrame, k: int, nlist: int = IVF_NLIST) -> DataFrame:
 _SQL_IVF_ASSIGN = """
 e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
       FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, emb AS cent FROM e
-          WHERE vec_id < {nlist}),
+{kmeans},
 assign AS (
   SELECT vec_id, label, emb, cent_id FROM (
     SELECT e.vec_id, e.label, e.emb, c.cent_id,
@@ -234,23 +331,30 @@ assign AS (
 
 
 def q_emb_ann_ivf(spark, sf):
-    """IVF ANN with nprobe=4 multiprobe: every vector in its top-1 cell,
-    the query searching its 4 nearest cells (VERDICT r01: nprobe=1 missed
-    up to 4/10 true neighbors; the 4-cell probe recovers them while still
-    scanning only nprobe/nlist of the corpus)."""
+    """IVF ANN over seeded-k-means cells with multiprobe on BOTH sides:
+    vectors live in their top-IVF_ANN_ASSIGN cells (boundary neighbors
+    stay reachable — with balanced k-means cells, top-1 assignment lost
+    2-4/10 true neighbors), the query searches its IVF_NPROBE nearest
+    cells. Candidates are deduped to vec_id before the exact re-rank.
+    Scanned fraction ~ assign*nprobe/nlist; on production corpora nlist
+    ~= sqrt(n) keeps it sub-linear (the fixture's nlist=16 is sized for
+    the tiny recall-measured corpora)."""
     e = _emb(spark, sf)
-    assign = _ivf_assign(e, 1)
-    cents = e.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent"))
+    en = e.withColumn("_nv", F.expr(_NORM_EXPR.format(c="emb")))
+    cents = kmeans_centroids(en, IVF_NLIST)
+    assign = _ivf_assign(e, IVF_ANN_ASSIGN, IVF_NLIST, cents=cents)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
     wq = Window.orderBy(F.col("q_cos").desc(), F.col("cent_id").asc())
     q_cells = (_xjoin(cents, "cent_id", qv, "q_emb")
                .withColumn("q_cos", _cos("cent", "q_emb"))
                .withColumn("rn", F.row_number().over(wq))
                .filter(F.col("rn") <= IVF_NPROBE)
-               .select("cent_id", "q_emb"))
-    return (assign.join(F.broadcast(q_cells), "cent_id")
+               .select("cent_id"))
+    cand = (assign.join(F.broadcast(q_cells), "cent_id")
             .filter(F.col("vec_id") != 0)
+            .select("vec_id", "label").distinct())
+    return (_xjoin(cand.join(e.select("vec_id", "emb"), "vec_id"),
+                   "vec_id", qv, "q_emb")
             .withColumn("cosine", F.round(_cos("emb", "q_emb"), 6))
             .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
             .limit(10)
@@ -258,7 +362,8 @@ def q_emb_ann_ivf(spark, sf):
 
 
 SQL_EMB_ANN_IVF = f"""
-WITH {_SQL_IVF_ASSIGN.format(nlist=IVF_NLIST, k=1)},
+WITH {_SQL_IVF_ASSIGN.format(kmeans=_sql_kmeans(str(IVF_NLIST)),
+                             k=IVF_ANN_ASSIGN)},
 qv AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
 q_cells AS (
   SELECT cent_id FROM (
@@ -267,13 +372,16 @@ q_cells AS (
              ORDER BY CAST(list_cosine_similarity(c.cent, qv.q_emb)
                            AS DOUBLE) DESC, c.cent_id ASC) AS rn
     FROM cents c CROSS JOIN qv)
-  WHERE rn <= {IVF_NPROBE})
-SELECT a.vec_id, a.label,
-       ROUND(CAST(list_cosine_similarity(a.emb, qv.q_emb) AS DOUBLE), 6)
+  WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT a.vec_id, a.label
+  FROM assign a JOIN q_cells USING (cent_id)
+  WHERE a.vec_id <> 0)
+SELECT cand.vec_id, cand.label,
+       ROUND(CAST(list_cosine_similarity(e.emb, qv.q_emb) AS DOUBLE), 6)
          AS cosine
-FROM assign a JOIN q_cells USING (cent_id) CROSS JOIN qv
-WHERE a.vec_id <> 0
-ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
+FROM cand JOIN e USING (vec_id) CROSS JOIN qv
+ORDER BY cosine DESC, cand.vec_id ASC LIMIT 10
 """
 
 
@@ -282,11 +390,12 @@ ORDER BY cosine DESC, a.vec_id ASC LIMIT 10
 # ---------------------------------------------------------------------
 
 def _near_dup_nlist(n: int) -> int:
-    """Cells scale with corpus size (16 per 500 vectors) so candidate
-    volume stays ~n^2/nlist with bounded cell occupancy; 16 exactly at the
-    recall-measured fixture sizes (n<=500), mirrored by a scalar subquery
-    in the DuckDB oracle."""
-    return 16 * max(1, -(-n // 500))
+    """nlist ~= sqrt(n) (FAISS convention; VERDICT r02 #2 — the old
+    16-per-500 linear rule made assignment cost n^2/31): candidate
+    volume stays ~n^2/sqrt(n) = n^1.5 and assignment is n x sqrt(n)
+    cosines. Mirrored by a scalar subquery in the DuckDB oracle."""
+    import math
+    return max(8, math.ceil(math.sqrt(n)))
 
 
 def q_emb_near_dup_bucketed(spark, sf):
@@ -321,10 +430,11 @@ def q_emb_near_dup_bucketed(spark, sf):
                     F.round("cosine", 6).alias("cosine")))
 
 
-_NLIST_SQL = "(SELECT 16 * CAST(CEIL(COUNT(*) / 500.0) AS BIGINT) FROM e)"
+_NLIST_SQL = ("(SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
+              "FROM e)")
 
 _SQL_NEAR_DUP_CAND = f"""
-{_SQL_IVF_ASSIGN.format(nlist=_NLIST_SQL, k=IVF_ASSIGN)},
+{_SQL_IVF_ASSIGN.format(kmeans=_sql_kmeans(_NLIST_SQL), k=IVF_ASSIGN)},
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM assign a JOIN assign b ON a.cent_id = b.cent_id
