@@ -56,15 +56,17 @@ def bench_crawl(spark, sf: float, rounds: int, warm: bool = True) -> dict:
         allowed_domains=("example-hotels.test", "example-restaurants.test",
                          *MEGA_HOSTS),
         round_cap=8192, default_crawl_delay_s=0.02, max_rounds=rounds)
-    # v4: the bench graph disables cookie gating and nofollow demotion so
-    # the fetch+dedup workload stays maximal and round-over-round
-    # comparable (those features shrink discovery; their correctness is
-    # pytest territory, not a throughput workload change)
+    # v5: the bench graph disables cookie gating, nofollow demotion and
+    # sitemaps so the fetch+dedup workload stays maximal and
+    # round-over-round comparable (those features shrink/reshape
+    # discovery; their correctness is pytest territory, not a throughput
+    # workload change)
     fx_dir = os.path.join(tempfile.gettempdir(),
-                          f"crawlspark_bench_fx_v4_{n_pages}")
+                          f"crawlspark_bench_fx_v5_{n_pages}")
     if not os.path.isdir(fx_dir):
         write_fixture(fx_dir, n_pages=n_pages, seed=42, config=cfg,
-                      with_cookies=False, with_nofollow=False)
+                      with_cookies=False, with_nofollow=False,
+                      with_sitemaps=False)
     # tiny rounds: AQE's per-stage replanning costs more than it saves
     # (skew is handled by explicit J6 salting); cluster deploys keep AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -103,6 +103,17 @@ class CrawlConfig:
                                             # rewriting a 10-TB frontier per
                                             # round is not.
     frontier_compact_every: int = 8         # delta-mode compaction cadence
+    sitemaps_enabled: bool = True           # F1 extension (r3)
+                                            # [S:scrapy/spiders/sitemap.py::
+                                            # SitemapSpider]: a fetched body
+                                            # that IS a sitemap (urlset /
+                                            # sitemapindex root tag) expands
+                                            # to its <loc> entries in document
+                                            # order instead of HTML parsing;
+                                            # sitemap fetches emit NO document
+                                            # row. Index recursion falls out:
+                                            # sub-sitemaps enqueue like links
+                                            # and expand when fetched.
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

@@ -43,8 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from . import bloom
@@ -144,21 +144,38 @@ def _offsite_regex(domains: tuple[str, ...]) -> str | None:
     return "(^|\\.)(" + "|".join(re.escape(d) for d in domains) + ")$"
 
 
-def _extract_fn(passthrough: list[str]):
+def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
     """mapInPandas X8/X9 + fused D1: parse body_html -> interleaved spans,
     raw hrefs, AND canonical absolute link URLs. Canonicalization is fused
     into the same Arrow batch loop so each round runs ONE python stage over
     the links instead of two (halves the python-worker footprint and skips
-    a JVM->python round-trip of every discovered link)."""
+    a JVM->python round-trip of every discovered link).
+
+    F1 sitemap extension (r3): a body whose root tag is urlset /
+    sitemapindex expands to its <loc> entries (document order) instead of
+    HTML parsing — no spans, no forms, is_sitemap=True (the engine emits
+    no document row for it). Sub-sitemaps recurse by construction: their
+    locs enqueue like links and sniff as sitemaps when fetched."""
     from .kernels.canon import absolutize, canonicalize_url
+    from .kernels.parse import is_sitemap, parse_sitemap
 
     def fn(batches):
         for pdf in batches:
             spans_col, links_col, canon_col = [], [], []
-            form_act_col, form_body_col = [], []
+            form_act_col, form_body_col, sm_col = [], [], []
             for url, body in zip(pdf["url_canon"], pdf["body_html"]):
-                spans, hrefs, forms = parse_html(
-                    url, body if isinstance(body, str) else "")
+                body_s = body if isinstance(body, str) else ""
+                if sitemaps_enabled and is_sitemap(body_s):
+                    locs = parse_sitemap(body_s)
+                    spans_col.append([])
+                    links_col.append(locs)
+                    canon_col.append(
+                        [canonicalize_url(absolutize(url, u)) for u in locs])
+                    form_act_col.append([])
+                    form_body_col.append([])
+                    sm_col.append(True)
+                    continue
+                spans, hrefs, forms = parse_html(url, body_s)
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
                 canon_col.append(
@@ -167,12 +184,14 @@ def _extract_fn(passthrough: list[str]):
                     [canonicalize_url(absolutize(url, f.action))
                      for f in forms])
                 form_body_col.append([f.body for f in forms])
+                sm_col.append(False)
             out = pdf[passthrough].copy()
             out["spans"] = spans_col
             out["outlinks"] = links_col
             out["outlinks_canon"] = canon_col
             out["outforms_action"] = form_act_col
             out["outforms_body"] = form_body_col
+            out["is_sitemap"] = sm_col
             yield out
     return fn
 
@@ -604,13 +623,17 @@ class CrawlEngine:
                StructField("outlinks", ArrayType(StringType())),
                StructField("outlinks_canon", ArrayType(StringType())),
                StructField("outforms_action", ArrayType(StringType())),
-               StructField("outforms_body", ArrayType(StringType()))])
+               StructField("outforms_body", ArrayType(StringType())),
+               StructField("is_sitemap", BooleanType())])
         extracted = (batch.filter(F.col("_ok"))
                      .select(*passthrough, "body_html")
-                     .mapInPandas(_extract_fn(passthrough), extract_schema)
+                     .mapInPandas(
+                         _extract_fn(passthrough, cfg.sitemaps_enabled),
+                         extract_schema)
                      ).cache()
-        documents = extracted.select(F.col("fingerprint").alias("doc_id"),
-                                     "spans")
+        # sitemap fetches expand to their locs but emit NO document row
+        documents = (extracted.filter(~F.col("is_sitemap"))
+                     .select(F.col("fingerprint").alias("doc_id"), "spans"))
 
         # ---- R2 stream construction: every raw candidate consumes a seq ----
         # stream elements are (raw, method, body) structs so one stream

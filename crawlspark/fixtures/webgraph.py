@@ -30,7 +30,9 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..kernels.canon import canonicalize_url, fingerprint_hex
-from ..kernels.parse import Form, Span, media_ref_for, render_html
+from ..kernels.parse import (
+    Form, Span, media_ref_for, render_html, render_sitemap,
+)
 
 MEGA_HOSTS = ["booking.test", "tripadvisor.test"]
 OFFSITE_HOSTS = ["facebook.test", "ads.tracker.test"]
@@ -95,7 +97,8 @@ def _mess_up(rng: random.Random, url_canon: str, same_host: bool) -> str:
 
 def generate(n_pages: int = 300, seed: int = 42,
              chain_len: int = 25, with_cookies: bool = True,
-             with_nofollow: bool = True) -> dict[str, pd.DataFrame]:
+             with_nofollow: bool = True,
+             with_sitemaps: bool = True) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
     n_small = max(4, n_pages // 40)
     hosts = _hosts(n_small)
@@ -276,6 +279,52 @@ def generate(n_pages: int = 300, seed: int = 42,
                      [s._asdict() for s in sp], [], [], [], [],
                      None, None))
 
+    # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
+    # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
+    # only through the sitemap (proving expansion adds coverage). The
+    # first sitemap host publishes a sitemapindex -> two sub-sitemaps
+    # (recursion via content sniffing). Independent rng stream so sitemap
+    # layout never perturbs the page/status/link draws.
+    srng = random.Random(seed ^ 0x5173AB)
+    sitemap_seed_urls: list[str] = []
+    if with_sitemaps:
+        def _page_row(u, h, path, status, body, spans, outlinks):
+            lat = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
+            return (u, h, path, status, None, None, lat, f"{h}{path}",
+                    body, [s._asdict() for s in spans], outlinks,
+                    [], [], [], None, None)
+
+        sm_hosts = [h for h in hosts if srng.random() < 0.25]
+        for idx, h in enumerate(sm_hosts):
+            orphans = []
+            for j in range(srng.randrange(1, 4)):
+                ou = canonicalize_url(f"https://{h}/orphan/{j}")
+                sp = [Span("text", f"orphan page {h} {j}", None, 0)]
+                rows.append(_page_row(
+                    ou, h, f"/orphan/{j}", 200,
+                    render_html(f"{h}/orphan/{j}", sp, [], []), sp, []))
+                orphans.append(ou)
+            locs = [u for u in by_host.get(h, [])
+                    if srng.random() < 0.5] + orphans
+            sm_url = canonicalize_url(f"https://{h}/sitemap.xml")
+            if idx == 0 and len(locs) >= 2:
+                # sitemapindex: locs split across two sub-sitemaps
+                subs = []
+                half = len(locs) // 2
+                for i, chunk in enumerate((locs[:half], locs[half:])):
+                    su = canonicalize_url(f"https://{h}/sitemap-{i}.xml")
+                    rows.append(_page_row(su, h, f"/sitemap-{i}.xml", 200,
+                                          render_sitemap(chunk), [], chunk))
+                    subs.append(su)
+                body = render_sitemap(subs, index=True)
+                outl = subs
+            else:
+                body = render_sitemap(locs)
+                outl = locs
+            rows.append(_page_row(sm_url, h, "/sitemap.xml", 200,
+                                  body, [], outl))
+            sitemap_seed_urls.append(sm_url)
+
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 
     # --- robots (Protego subset): disallow /private, allow /private/open
@@ -308,11 +357,17 @@ def generate(n_pages: int = 300, seed: int = 42,
     host_policy = pd.DataFrame(
         prows, columns=["host", "crawl_delay_s", "max_concurrency", "salt_n"])
 
-    # --- seeds: both megas + a sample of small hosts, roots first (R1 order)
+    # --- seeds: both megas + a sample of small hosts, roots first (R1
+    # order); sitemap seeds append AFTER the page seeds (kind column is
+    # informational — expansion is content-sniffed, as SitemapSpider
+    # sniffs the response body)
     seed_hosts = MEGA_HOSTS + [h for h in hosts[2:] if rng.random() < 0.6]
+    seed_urls = [f"https://{h}/" for h in seed_hosts] + sitemap_seed_urls
     seeds = pd.DataFrame({
-        "seed_id": range(len(seed_hosts)),
-        "url": [f"https://{h}/" for h in seed_hosts],
+        "seed_id": range(len(seed_urls)),
+        "url": seed_urls,
+        "kind": (["page"] * len(seed_hosts)
+                 + ["sitemap"] * len(sitemap_seed_urls)),
     })
 
     return {"seeds": seeds, "pages": pages, "robots": robots,
@@ -329,10 +384,12 @@ def default_config() -> CrawlConfig:
 def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
                   config: CrawlConfig | None = None,
                   chain_len: int = 25, with_cookies: bool = True,
-                  with_nofollow: bool = True) -> CrawlConfig:
+                  with_nofollow: bool = True,
+                  with_sitemaps: bool = True) -> CrawlConfig:
     os.makedirs(out_dir, exist_ok=True)
     dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len,
-                   with_cookies=with_cookies, with_nofollow=with_nofollow)
+                   with_cookies=with_cookies, with_nofollow=with_nofollow,
+                   with_sitemaps=with_sitemaps)
     pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
                                         preserve_index=False),
                    os.path.join(out_dir, "pages.parquet"))

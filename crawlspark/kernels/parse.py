@@ -84,6 +84,40 @@ def render_html(title: str, spans: list[Span], hrefs: list[str],
     return "".join(out)
 
 
+# ---- sitemap kernel (F1 extension, r3) --------------------------------
+# [S:scrapy/spiders/sitemap.py::SitemapSpider._parse_sitemap]: a fetched
+# body that IS a sitemap (urlset or sitemapindex) expands to its <loc>
+# entries in document order — urlset locs are content URLs, sitemapindex
+# locs are further sitemaps (the recursion falls out of content sniffing:
+# each sub-sitemap is enqueued like any link and expands when fetched).
+
+_SITEMAP_SIG_RE = re.compile(r"<\s*(urlset|sitemapindex)[\s>]")
+_LOC_RE = re.compile(r"<loc>(.*?)</loc>", re.S)
+
+
+def is_sitemap(body: str) -> bool:
+    """True iff the body is a sitemap urlset/sitemapindex document (the
+    signature check Scrapy's Sitemap class applies to the root tag)."""
+    return bool(body) and bool(_SITEMAP_SIG_RE.search(body[:256]))
+
+
+def render_sitemap(locs: list[str], index: bool = False) -> str:
+    tag = "sitemapindex" if index else "urlset"
+    item = "sitemap" if index else "url"
+    out = ['<?xml version="1.0" encoding="UTF-8"?>',
+           f'<{tag} xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">']
+    for u in locs:
+        out.append(f"<{item}><loc>{_html.escape(u)}</loc></{item}>")
+    out.append(f"</{tag}>")
+    return "".join(out)
+
+
+def parse_sitemap(body: str) -> list[str]:
+    """<loc> entries in document order, unescaped and RAW (the link
+    pipeline owns absolutize/canonicalize, exactly as for hrefs)."""
+    return [_html.unescape(m) for m in _LOC_RE.findall(body)]
+
+
 _SPAN_RE = re.compile(r"<p>(.*?)</p>|<img src=\"([^\"]*)\"/>", re.S)
 _HREF_RE = re.compile(r"<a href=\"([^\"]*)\">")
 _FORM_RE = re.compile(r"<form action=\"([^\"]*)\" method=\"post\">(.*?)</form>",

@@ -49,7 +49,7 @@ import pandas as pd
 
 from ..config import RETRY_CODES, IGNORED_EXT_RE, CrawlConfig
 from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
-from ..kernels.parse import Form, parse_html
+from ..kernels.parse import Form, is_sitemap, parse_html, parse_sitemap
 from ..kernels.robots import robots_allowed
 from urllib.parse import urlsplit
 
@@ -268,9 +268,15 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 stream = [redirect_tgt]
             elif status == 200 and body is not None:
                 mc(req.host, "ok")
-                spans, hrefs, forms = parse_html(req.url_canon, body)
-                res.documents[req.fingerprint] = [s._asdict() for s in spans]
-                stream = hrefs + forms   # R2: links first, then forms
+                if cfg.sitemaps_enabled and is_sitemap(body):
+                    # F1 sitemap extension (r3): locs in document order,
+                    # NO document row [S:scrapy/spiders/sitemap.py]
+                    stream = parse_sitemap(body)
+                else:
+                    spans, hrefs, forms = parse_html(req.url_canon, body)
+                    res.documents[req.fingerprint] = \
+                        [s._asdict() for s in spans]
+                    stream = hrefs + forms   # R2: links first, then forms
             else:
                 mc(req.host, "errors")
             if use_cache and not hit and status not in RETRY_CODES:

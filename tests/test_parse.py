@@ -3,16 +3,24 @@
 (kind, text, media_ref, order) per doc) and link discovery order."""
 
 from crawlspark.kernels.parse import (
-    Form, Span, media_ref_for, parse_html, render_html,
+    Form, Span, is_sitemap, media_ref_for, parse_html, parse_sitemap,
+    render_html, render_sitemap,
 )
 
 
 def test_roundtrip_all_fixture_pages(fixture_pdfs):
     """parse_html(body_html) must reproduce the golden body_spans,
-    outlinks_raw AND outform_* for EVERY fixture page."""
+    outlinks_raw AND outform_* for EVERY fixture page; sitemap bodies
+    (content-sniffed, the extractor's dispatch) must reproduce their
+    golden loc list with no spans/forms."""
     pages = fixture_pdfs["pages"]
-    n_forms = 0
+    n_forms = n_sitemaps = 0
     for _, row in pages.iterrows():
+        if is_sitemap(row.body_html):
+            assert parse_sitemap(row.body_html) == list(row.outlinks_raw)
+            assert list(row.body_spans) == []
+            n_sitemaps += 1
+            continue
         spans, hrefs, forms = parse_html(row.url_canon, row.body_html)
         got = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
         want = [(d["kind"], d["text"], d["media_ref"], d["offset"])
@@ -23,6 +31,22 @@ def test_roundtrip_all_fixture_pages(fixture_pdfs):
         assert [f.body for f in forms] == list(row.outform_bodies)
         n_forms += len(forms)
     assert n_forms > 0   # the fixture must actually exercise POST forms
+    assert n_sitemaps > 0  # ... and sitemaps
+
+
+def test_sitemap_kernel_roundtrip():
+    locs = ["https://h0.example-hotels.test/hotel/1",
+            "https://h0.example-hotels.test/a?b=1&c=2",
+            "https://h0.example-hotels.test/x<&>y"]
+    body = render_sitemap(locs)
+    assert is_sitemap(body)
+    assert parse_sitemap(body) == locs
+    idx = render_sitemap(["https://h/s1.xml", "https://h/s2.xml"],
+                         index=True)
+    assert is_sitemap(idx)
+    assert parse_sitemap(idx) == ["https://h/s1.xml", "https://h/s2.xml"]
+    assert not is_sitemap("<html><body>urlset</body></html>")
+    assert not is_sitemap("")
 
 
 def test_offsets_dense(fixture_pdfs):
@@ -71,6 +95,8 @@ def test_nofollow_links_not_extracted(fixture_pdfs):
     pages = fixture_pdfs["pages"]
     n_nf = 0
     for _, row in pages.iterrows():
+        if is_sitemap(row.body_html):
+            continue   # sitemap outlinks are locs, not anchors
         _, hrefs, _ = parse_html(row.url_canon, row.body_html)
         for nf in row.nofollow_raw:
             assert f'<a href="{_h.escape(nf)}" rel="nofollow">' \
