@@ -66,7 +66,7 @@ def bench_crawl(spark, sf: float, rounds: int, warm: bool = True) -> dict:
     if not os.path.isdir(fx_dir):
         write_fixture(fx_dir, n_pages=n_pages, seed=42, config=cfg,
                       with_cookies=False, with_nofollow=False,
-                      with_sitemaps=False)
+                      with_sitemaps=False, with_meta=False)
     # tiny rounds: AQE's per-stage replanning costs more than it saves
     # (skew is handled by explicit J6 salting); cluster deploys keep AQE on
     spark.conf.set("spark.sql.adaptive.enabled", "false")

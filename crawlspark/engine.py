@@ -95,6 +95,10 @@ CRAWL_ORDER_SCHEMA = StructType([
 DOCUMENTS_SCHEMA = StructType([
     StructField("doc_id", StringType()),
     StructField("spans", ArrayType(SPAN_STRUCT)),
+    # X9 r3: canonicalized rel=canonical target (null when undeclared) —
+    # the cheapest crawl-side dedup signal; input_hint's (doc_id, spans)
+    # contract is preserved, the column is additive
+    StructField("canonical_url", StringType()),
 ])
 
 METRIC_KEYS = ["fetched", "ok", "errors", "redirects", "retried",
@@ -157,12 +161,13 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
     no document row for it). Sub-sitemaps recurse by construction: their
     locs enqueue like links and sniff as sitemaps when fetched."""
     from .kernels.canon import absolutize, canonicalize_url
-    from .kernels.parse import is_sitemap, parse_sitemap
+    from .kernels.parse import is_sitemap, parse_page, parse_sitemap
 
     def fn(batches):
         for pdf in batches:
             spans_col, links_col, canon_col = [], [], []
-            form_act_col, form_body_col, sm_col = [], [], []
+            form_act_col, form_body_col, sm_col, canonical_col = \
+                [], [], [], []
             for url, body in zip(pdf["url_canon"], pdf["body_html"]):
                 body_s = body if isinstance(body, str) else ""
                 if sitemaps_enabled and is_sitemap(body_s):
@@ -174,8 +179,13 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                     form_act_col.append([])
                     form_body_col.append([])
                     sm_col.append(True)
+                    canonical_col.append(None)
                     continue
-                spans, hrefs, forms = parse_html(url, body_s)
+                # X9 r3: parse_page applies page-level robots-meta
+                # nofollow (hrefs/forms already emptied) and surfaces the
+                # raw rel=canonical target, normalized here in the same
+                # Arrow batch (fused D1)
+                spans, hrefs, forms, meta = parse_page(url, body_s)
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
                 canon_col.append(
@@ -185,6 +195,9 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                      for f in forms])
                 form_body_col.append([f.body for f in forms])
                 sm_col.append(False)
+                canonical_col.append(
+                    canonicalize_url(absolutize(url, meta.canonical_raw))
+                    if meta.canonical_raw else None)
             out = pdf[passthrough].copy()
             out["spans"] = spans_col
             out["outlinks"] = links_col
@@ -192,6 +205,7 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
             out["outforms_action"] = form_act_col
             out["outforms_body"] = form_body_col
             out["is_sitemap"] = sm_col
+            out["canonical_url"] = canonical_col
             yield out
     return fn
 
@@ -624,7 +638,8 @@ class CrawlEngine:
                StructField("outlinks_canon", ArrayType(StringType())),
                StructField("outforms_action", ArrayType(StringType())),
                StructField("outforms_body", ArrayType(StringType())),
-               StructField("is_sitemap", BooleanType())])
+               StructField("is_sitemap", BooleanType()),
+               StructField("canonical_url", StringType())])
         extracted = (batch.filter(F.col("_ok"))
                      .select(*passthrough, "body_html")
                      .mapInPandas(
@@ -633,7 +648,8 @@ class CrawlEngine:
                      ).cache()
         # sitemap fetches expand to their locs but emit NO document row
         documents = (extracted.filter(~F.col("is_sitemap"))
-                     .select(F.col("fingerprint").alias("doc_id"), "spans"))
+                     .select(F.col("fingerprint").alias("doc_id"), "spans",
+                             "canonical_url"))
 
         # ---- R2 stream construction: every raw candidate consumes a seq ----
         # stream elements are (raw, method, body) structs so one stream

@@ -61,6 +61,8 @@ PAGES_SCHEMA = pa.schema([
     ("nofollow_raw", pa.list_(pa.string())),      # golden rel=nofollow hrefs
     ("set_cookie", pa.string()),       # 200 response grants this host cookie
     ("requires_cookie", pa.string()),  # 403 unless the cookie is held
+    ("meta_nofollow", pa.bool_()),     # page-level robots meta nofollow (r3)
+    ("canonical_raw", pa.string()),    # golden raw rel=canonical href (r3)
 ])
 
 
@@ -98,7 +100,8 @@ def _mess_up(rng: random.Random, url_canon: str, same_host: bool) -> str:
 def generate(n_pages: int = 300, seed: int = 42,
              chain_len: int = 25, with_cookies: bool = True,
              with_nofollow: bool = True,
-             with_sitemaps: bool = True) -> dict[str, pd.DataFrame]:
+             with_sitemaps: bool = True,
+             with_meta: bool = True) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
     n_small = max(4, n_pages // 40)
     hosts = _hosts(n_small)
@@ -148,6 +151,11 @@ def generate(n_pages: int = 300, seed: int = 42,
     cookie_hosts = {h for h in hosts
                     if crng.random() < 0.5} if with_cookies else set()
     cookie_set_done: set[str] = set()
+    # page-level head metadata (r3): independent stream — ~6% of non-root
+    # 200 pages are meta-nofollow (ALL their links/forms suppressed), ~8%
+    # declare rel=canonical to another same-host page via a messy href
+    # (canonicalizer fodder, like outlinks)
+    mrng = random.Random(seed ^ 0xCA7014)
     # --- per-page rows
     rows = []
     for u, h in zip(urls, url_host_l):
@@ -236,12 +244,25 @@ def generate(n_pages: int = 300, seed: int = 42,
                 cookie_set_done.add(h)
             elif crng.random() < 0.45:
                 req_ck = f"sess-{h}"
+        meta_nf, canon_raw = False, None
+        if with_meta and not is_root and status == 200:
+            mr = mrng.random()
+            if mr < 0.06:
+                meta_nf = True
+            elif mr < 0.14:
+                canon_raw = _mess_up(mrng, mrng.choice(by_host[h]),
+                                     same_host=True)
         title = f"{h}{path}"
-        body = render_html(title, spans, hrefs, media_srcs, forms, nofollow)
+        body = render_html(title, spans, hrefs, media_srcs, forms, nofollow,
+                           meta_nofollow=meta_nf, canonical=canon_raw)
+        # goldens are DISCOVERY goldens: a meta-nofollow page still renders
+        # its anchors/forms, but the extractor must discover nothing
         rows.append((u, h, path, status, redirect_to, succ, latency, title,
-                     body, [s._asdict() for s in spans], hrefs,
-                     [f.action for f in forms], [f.body for f in forms],
-                     nofollow, set_ck, req_ck))
+                     body, [s._asdict() for s in spans],
+                     [] if meta_nf else hrefs,
+                     [] if meta_nf else [f.action for f in forms],
+                     [] if meta_nf else [f.body for f in forms],
+                     nofollow, set_ck, req_ck, meta_nf, canon_raw))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -257,7 +278,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                          f"{row[1]}{action}",
                          render_html(f"{row[1]}{action}", sp, [], []),
                          [s._asdict() for s in sp], [], [], [], [],
-                         None, None)
+                         None, None, False, None)
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -277,7 +298,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                      f"{ch}/chain/{i}x",
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
                      [s._asdict() for s in sp], [], [], [], [],
-                     None, None))
+                     None, None, False, None))
 
     # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
     # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
@@ -292,7 +313,7 @@ def generate(n_pages: int = 300, seed: int = 42,
             lat = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
             return (u, h, path, status, None, None, lat, f"{h}{path}",
                     body, [s._asdict() for s in spans], outlinks,
-                    [], [], [], None, None)
+                    [], [], [], None, None, False, None)
 
         sm_hosts = [h for h in hosts if srng.random() < 0.25]
         for idx, h in enumerate(sm_hosts):
@@ -385,11 +406,12 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
                   config: CrawlConfig | None = None,
                   chain_len: int = 25, with_cookies: bool = True,
                   with_nofollow: bool = True,
-                  with_sitemaps: bool = True) -> CrawlConfig:
+                  with_sitemaps: bool = True,
+                  with_meta: bool = True) -> CrawlConfig:
     os.makedirs(out_dir, exist_ok=True)
     dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len,
                    with_cookies=with_cookies, with_nofollow=with_nofollow,
-                   with_sitemaps=with_sitemaps)
+                   with_sitemaps=with_sitemaps, with_meta=with_meta)
     pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
                                         preserve_index=False),
                    os.path.join(out_dir, "pages.parquet"))

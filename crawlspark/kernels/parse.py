@@ -43,6 +43,18 @@ class Form(NamedTuple):
     body: str            # urlencoded field payload, input document order
 
 
+class PageMeta(NamedTuple):
+    """Page-level head metadata (X9 extension, r3): a
+    <meta name="robots" content="...nofollow..."> suppresses ALL request
+    discovery from the page (links and forms — page-level analogue of
+    the per-anchor rel=nofollow [S:scrapy robots-meta middleware
+    conventions]); <link rel="canonical" href="..."> is surfaced RAW for
+    the pipeline to normalize (the cheapest dedup signal a crawler
+    gets)."""
+    nofollow: bool
+    canonical_raw: str | None
+
+
 def media_ref_for(base_url: str, src: str) -> str:
     """full/<sha1(canonical absolute media url)> — deterministic media path."""
     canon = canonicalize_url(absolutize(base_url, src))
@@ -52,13 +64,23 @@ def media_ref_for(base_url: str, src: str) -> str:
 def render_html(title: str, spans: list[Span], hrefs: list[str],
                 media_srcs: list[str],
                 forms: list[Form] = (),
-                nofollow: list[str] = ()) -> str:
+                nofollow: list[str] = (),
+                meta_nofollow: bool = False,
+                canonical: str | None = None) -> str:
     """Render the fixture page. ``media_srcs[i]`` is the raw src of the i-th
     media span (spans store only the derived media_ref). Forms render after
     the link list, one hidden input per urlencoded field. ``nofollow``
     hrefs render as ``rel="nofollow"`` anchors after the followable
-    links — the extractor must NOT discover them."""
-    out = [f"<html><head><title>{_html.escape(title)}</title></head><body>"]
+    links — the extractor must NOT discover them. ``meta_nofollow``
+    renders a page-level robots meta tag; ``canonical`` a
+    rel=canonical link in the head (r3)."""
+    head = [f"<title>{_html.escape(title)}</title>"]
+    if meta_nofollow:
+        head.append('<meta name="robots" content="nofollow"/>')
+    if canonical:
+        head.append(
+            f'<link rel="canonical" href="{_html.escape(canonical)}"/>')
+    out = [f"<html><head>{''.join(head)}</head><body>"]
     m = 0
     for s in spans:
         if s.kind == "text":
@@ -123,12 +145,14 @@ _HREF_RE = re.compile(r"<a href=\"([^\"]*)\">")
 _FORM_RE = re.compile(r"<form action=\"([^\"]*)\" method=\"post\">(.*?)</form>",
                       re.S)
 _INPUT_RE = re.compile(r"<input name=\"([^\"]*)\" value=\"([^\"]*)\"/>")
+_META_ROBOTS_RE = re.compile(r"<meta name=\"robots\" content=\"([^\"]*)\"")
+_CANONICAL_RE = re.compile(r"<link rel=\"canonical\" href=\"([^\"]*)\"")
 
 
-def parse_html(base_url: str,
-               body: str) -> tuple[list[Span], list[str], list[Form]]:
+def parse_page(base_url: str, body: str) \
+        -> tuple[list[Span], list[str], list[Form], PageMeta]:
     """Extract (spans in document order, raw hrefs in discovery order,
-    POST forms in document order).
+    POST forms in document order, page-level head metadata).
 
     hrefs/actions are returned RAW (un-absolutized, un-canonicalized) — the
     engine's link pipeline (D1/D2 + P1–P4) owns normalization, mirroring
@@ -138,7 +162,10 @@ def parse_html(base_url: str,
     ``rel="nofollow"`` are NOT extracted (the LxmlLinkExtractor default
     [S:scrapy/linkextractors/lxmlhtml.py]; the _HREF_RE pattern requires
     the href to be the tag's final attribute, which nofollow anchors—
-    rendered with a trailing rel attr—never satisfy).
+    rendered with a trailing rel attr—never satisfy). A page-level
+    ``<meta name="robots" content="...nofollow...">`` suppresses ALL
+    discovery (hrefs AND forms return empty; spans are unaffected — the
+    page is still content).
     """
     spans: list[Span] = []
     for i, m in enumerate(_SPAN_RE.finditer(body)):
@@ -149,6 +176,12 @@ def parse_html(base_url: str,
             spans.append(
                 Span("media", None, media_ref_for(base_url, _html.unescape(src)), i)
             )
+    mr = _META_ROBOTS_RE.search(body)
+    nofollow = bool(mr) and "nofollow" in mr.group(1)
+    cn = _CANONICAL_RE.search(body)
+    meta = PageMeta(nofollow, _html.unescape(cn.group(1)) if cn else None)
+    if nofollow:
+        return spans, [], [], meta
     hrefs = [_html.unescape(h) for h in _HREF_RE.findall(body)]
     forms = [
         Form(_html.unescape(action),
@@ -156,4 +189,11 @@ def parse_html(base_url: str,
                       for k, v in _INPUT_RE.findall(inner)))
         for action, inner in _FORM_RE.findall(body)
     ]
+    return spans, hrefs, forms, meta
+
+
+def parse_html(base_url: str,
+               body: str) -> tuple[list[Span], list[str], list[Form]]:
+    """Back-compat 3-tuple view of parse_page (meta rules applied)."""
+    spans, hrefs, forms, _ = parse_page(base_url, body)
     return spans, hrefs, forms

@@ -49,7 +49,7 @@ import pandas as pd
 
 from ..config import RETRY_CODES, IGNORED_EXT_RE, CrawlConfig
 from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
-from ..kernels.parse import Form, is_sitemap, parse_html, parse_sitemap
+from ..kernels.parse import Form, is_sitemap, parse_page, parse_sitemap
 from ..kernels.robots import robots_allowed
 from urllib.parse import urlsplit
 
@@ -76,6 +76,7 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)
     documents: dict[str, list[dict]] = field(default_factory=dict)
     metrics: list[dict] = field(default_factory=list)      # per (round, host)
+    canonical: dict[str, str] = field(default_factory=dict)  # fp -> canon
     rounds: int = 0
 
 
@@ -273,9 +274,15 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     # NO document row [S:scrapy/spiders/sitemap.py]
                     stream = parse_sitemap(body)
                 else:
-                    spans, hrefs, forms = parse_html(req.url_canon, body)
+                    # X9 r3: parse_page applies page-level robots-meta
+                    # nofollow (hrefs/forms empty) + rel=canonical
+                    spans, hrefs, forms, meta = \
+                        parse_page(req.url_canon, body)
                     res.documents[req.fingerprint] = \
                         [s._asdict() for s in spans]
+                    if meta.canonical_raw:
+                        res.canonical[req.fingerprint] = canonicalize_url(
+                            absolutize(req.url_canon, meta.canonical_raw))
                     stream = hrefs + forms   # R2: links first, then forms
             else:
                 mc(req.host, "errors")

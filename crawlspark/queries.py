@@ -433,6 +433,70 @@ FROM documents GROUP BY 1
 """
 
 
+def q_docs_canonical_dedup(spark, sf):
+    """Canonical-URL dedup (X9 rel=canonical extension, r3): the cheapest
+    near-dup signal a crawler gets is pages sharing a canonical target.
+    The driver tables carry no URLs, so each document derives a
+    deterministic MESSY url (uppercase scheme/host, default :443 port,
+    utm_ tracking params, unsorted query, fragment) from its own columns;
+    the query then applies the D1 canonicalization pipeline — lowercase
+    scheme+host, strip default port, strip fragment, drop utm_* params,
+    sort the survivors — entirely in native string/array functions, and
+    dedups on the canonical target (keeper = min doc_id). The identical
+    normalization runs in DuckDB, so the canonicalization semantics are
+    cross-engine verified end-to-end."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://Site-"), F.upper("source"),
+        F.lit(".Example.COM:443/"), F.col("lang"), F.lit("/doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&b="), (F.col("doc_id") % 2).cast("string"),
+        F.lit("&a=1#sec"), (F.col("doc_id") % 7).cast("string"))
+    nofrag = F.regexp_replace(raw, "#.*$", "")
+    prefix = F.regexp_replace(
+        F.lower(F.regexp_extract(nofrag, "^([^?]*)", 1)), ":443/", "/")
+    qstr = F.regexp_extract(nofrag, "\\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(qstr, "&"),
+                              lambda x: ~x.startswith("utm_"))), "&")
+    canon = F.concat(prefix,
+                     F.when(params != "", F.concat(F.lit("?"), params))
+                     .otherwise(F.lit("")))
+    return (d.select("doc_id", canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("keeper_doc_id"),
+                 F.count("*").alias("n_copies")))
+
+
+SQL_DOCS_CANONICAL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://Site-' || UPPER(source) || '.Example.COM:443/' || lang ||
+         '/doc/' || CAST(doc_id % 50 AS VARCHAR) ||
+         '?utm_source=feed&b=' || CAST(doc_id % 2 AS VARCHAR) ||
+         '&a=1#sec' || CAST(doc_id % 7 AS VARCHAR) AS raw
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(
+             regexp_replace(raw, '#.*$', ''), '^([^?]*)', 1)),
+             ':443/', '/') AS prefix,
+         regexp_extract(regexp_replace(raw, '#.*$', ''), '\\?(.*)$', 1) AS q
+  FROM u),
+p AS (
+  SELECT doc_id,
+         prefix || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+           AS canonical_url
+  FROM (SELECT doc_id, prefix,
+               array_to_string(list_sort(list_filter(
+                   string_split(q, '&'),
+                   x -> NOT starts_with(x, 'utm_'))), '&') AS params
+        FROM c))
+SELECT canonical_url, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM p GROUP BY 1
+"""
+
+
 def q_docs_token_stats(spark, sf):
     """Token counting (whitespace tokenizer) + per-lang stats."""
     d = _t(spark, sf, "documents")
@@ -1007,6 +1071,8 @@ QUERIES = {
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "docs_fingerprint": (q_docs_fingerprint, SQL_DOCS_FINGERPRINT),
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
+    "docs_canonical_dedup": (q_docs_canonical_dedup,
+                             SQL_DOCS_CANONICAL_DEDUP),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
     "docs_token_bpe": (q_docs_token_bpe, SQL_DOCS_TOKEN_BPE),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),

@@ -95,8 +95,9 @@ def test_nofollow_links_not_extracted(fixture_pdfs):
     pages = fixture_pdfs["pages"]
     n_nf = 0
     for _, row in pages.iterrows():
-        if is_sitemap(row.body_html):
-            continue   # sitemap outlinks are locs, not anchors
+        if is_sitemap(row.body_html) or row.meta_nofollow:
+            continue   # sitemap locs aren't anchors; meta-nofollow pages
+            # suppress ALL anchors (covered by test_meta_robots)
         _, hrefs, _ = parse_html(row.url_canon, row.body_html)
         for nf in row.nofollow_raw:
             assert f'<a href="{_h.escape(nf)}" rel="nofollow">' \
