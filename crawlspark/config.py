@@ -103,6 +103,30 @@ class CrawlConfig:
                                             # rewriting a 10-TB frontier per
                                             # round is not.
     frontier_compact_every: int = 8         # delta-mode compaction cadence
+    httpcache_expiration_rounds: int = 0    # X12 TTL (r3)
+                                            # [S:scrapy/extensions/httpcache
+                                            # .py HTTPCACHE_EXPIRATION_SECS
+                                            # analogue, in cache EPOCHS]:
+                                            # 0 = DummyPolicy (cache forever).
+                                            # N>0: every caching round
+                                            # publishes one cache dir = one
+                                            # epoch; an entry written at
+                                            # epoch e is fresh while
+                                            # cur_epoch - e <= N, after which
+                                            # it is a MISS — the re-fetch
+                                            # re-caches at the new epoch
+                                            # (reads resolve latest-epoch-
+                                            # wins per fingerprint)
+    honor_retry_after: bool = True          # X10->F4 coupling (r3)
+                                            # [S:scrapy 2.x RetryMiddleware
+                                            # reads Retry-After]: a 429/503
+                                            # response carrying retry_after_s
+                                            # makes the host's NEXT round use
+                                            # delay = max(delay_eff,
+                                            # retry_after_s) for budget AND
+                                            # carry — one-shot: cleared at
+                                            # that round's end unless the
+                                            # host re-signals
     sitemaps_enabled: bool = True           # F1 extension (r3)
                                             # [S:scrapy/spiders/sitemap.py::
                                             # SitemapSpider]: a fetched body

@@ -125,12 +125,18 @@ CACHE_SCHEMA = StructType([
     StructField("status", IntegerType()),
     StructField("redirect_to", StringType()),
     StructField("body_html", StringType()),
+    # X12 TTL (r3): the cache epoch this entry was written at (= number
+    # of cache dirs published before it); freshness is measured in epochs
+    StructField("epoch", IntegerType()),
 ])
 
 HOST_STATE_SCHEMA = StructType([
     StructField("host", StringType()),
     StructField("carry_s", DoubleType()),
     StructField("at_delay_s", DoubleType()),   # A5 AutoThrottle state
+    # X10->F4 (r3): pending Retry-After signal from last round's 429/503
+    # responses (null = none); consumed by the next round's budget/carry
+    StructField("retry_after_s", DoubleType()),
 ])
 
 SHARDS_SCHEMA = "shard int, bits binary"
@@ -229,7 +235,8 @@ class CrawlEngine:
             _c("url_canon", "string"), _c("status", "int"),
             _c("redirect_to", "string"), _c("succeeds_after", "int"),
             _c("latency_ms", "double"), _c("body_html", "string"),
-            _c("set_cookie", "string"), _c("requires_cookie", "string"))
+            _c("set_cookie", "string"), _c("requires_cookie", "string"),
+            _c("retry_after_s", "double"))
         # X7 fetch-join strategy: the fixture "network" table is broadcast
         # when it fits (kills a per-round shuffle of the dequeued batch); on
         # a real crawl X7 is an HTTP mapInPandas and this join disappears.
@@ -395,13 +402,25 @@ class CrawlEngine:
                 .select(*[f.name for f in FRONTIER_SCHEMA]))
 
     def _read_cache(self) -> DataFrame:
+        """Committed cache entries, latest-epoch-wins per fingerprint,
+        filtered to FRESH entries when a TTL is configured (X12 r3:
+        cur_epoch - epoch <= httpcache_expiration_rounds; 0 = forever).
+        Also pins the round's publishing epoch (= dir count) so the
+        round's own writes age from the point they were published."""
         dirs = [os.path.join(self.cache_dir, d)
                 for d in sorted(os.listdir(self.cache_dir))
                 if d.startswith("r")]
+        self._cache_epoch = len(dirs)
         if not dirs:
             df = self.spark.createDataFrame([], CACHE_SCHEMA)
         else:
             df = self.spark.read.schema(CACHE_SCHEMA).parquet(*dirs)
+        w = Window.partitionBy("fingerprint").orderBy(F.col("epoch").desc())
+        df = (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+        ttl = self.cfg.httpcache_expiration_rounds
+        if ttl > 0:
+            df = df.filter(F.lit(self._cache_epoch) - F.col("epoch") <= ttl)
         return df.select("fingerprint",
                          F.col("status").alias("c_status"),
                          F.col("redirect_to").alias("c_redirect"),
@@ -526,6 +545,13 @@ class CrawlEngine:
                         F.least(F.greatest("at_state", "delay_base"),
                                 F.lit(cfg.at_max_delay_s))
                         if cfg.autothrottle else F.col("delay_base"))
+            # X10->F4 (r3): a pending Retry-After signal clamps this
+            # round's effective delay up — budget collapses toward 1 and
+            # the carry pays the server-requested backoff
+            .withColumn("delay_eff",
+                        F.greatest("delay_eff",
+                                   F.coalesce("retry_after_s", F.lit(0.0)))
+                        if cfg.honor_retry_after else F.col("delay_eff"))
             .withColumn("conc", F.coalesce(F.col("max_concurrency"),
                                            F.lit(cfg.default_max_concurrency)))
             .withColumn("avail", F.coalesce("carry_s", F.lit(0.0))
@@ -830,7 +856,17 @@ class CrawlEngine:
         else:
             carry_new = carry_new.withColumn("at_delay_s",
                                              F.col("at_state").cast("double"))
-        carry_new = carry_new.select("host", "carry_s", "at_delay_s")
+        # X10->F4 (r3): collect this round's Retry-After signals (max per
+        # host over non-cached 429/503 responses) for the NEXT round;
+        # hosts without a fresh signal get null — the one-shot clears
+        ra_sig = (batch.filter(~F.col("_cached")
+                               & F.col("status").isin(429, 503)
+                               & F.col("retry_after_s").isNotNull())
+                  .groupBy("host")
+                  .agg(F.max("retry_after_s").alias("_ra_new")))
+        carry_new = (carry_new.join(ra_sig, "host", "left")
+                     .select("host", "carry_s", "at_delay_s",
+                             F.col("_ra_new").alias("retry_after_s")))
         host_state_next = host_state.join(host_round, "host", "left_anti") \
             .unionByName(carry_new)
 
@@ -965,7 +1001,9 @@ class CrawlEngine:
                     ~F.col("_cached")
                     & ~F.col("status").isin(list(RETRY_CODES)))
                     .select("fingerprint", F.col("status").cast("int"),
-                            "redirect_to", "body_html"))
+                            "redirect_to", "body_html",
+                            F.lit(self._cache_epoch).cast("int")
+                            .alias("epoch")))
                 cache_fut = pool.submit(self._write_cache, to_cache, ver)
             paths = {name: f.result() for name, f in futs.items()}
             cache_stage = cache_fut.result() if cache_fut is not None \

@@ -63,6 +63,7 @@ PAGES_SCHEMA = pa.schema([
     ("requires_cookie", pa.string()),  # 403 unless the cookie is held
     ("meta_nofollow", pa.bool_()),     # page-level robots meta nofollow (r3)
     ("canonical_raw", pa.string()),    # golden raw rel=canonical href (r3)
+    ("retry_after_s", pa.float64()),   # Retry-After on 429/503 pages (r3)
 ])
 
 
@@ -156,6 +157,9 @@ def generate(n_pages: int = 300, seed: int = 42,
     # declare rel=canonical to another same-host page via a messy href
     # (canonicalizer fodder, like outlinks)
     mrng = random.Random(seed ^ 0xCA7014)
+    # Retry-After signals (r3): independent stream; ~60% of 429/503 pages
+    # ask for a backoff that exceeds the politeness delay
+    rrng = random.Random(seed ^ 0x7E7A)
     # --- per-page rows
     rows = []
     for u, h in zip(urls, url_host_l):
@@ -244,6 +248,9 @@ def generate(n_pages: int = 300, seed: int = 42,
                 cookie_set_done.add(h)
             elif crng.random() < 0.45:
                 req_ck = f"sess-{h}"
+        retry_after = None
+        if status in (429, 503) and rrng.random() < 0.6:
+            retry_after = float(rrng.choice([4.0, 10.0, 16.0]))
         meta_nf, canon_raw = False, None
         if with_meta and not is_root and status == 200:
             mr = mrng.random()
@@ -262,7 +269,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                      [] if meta_nf else hrefs,
                      [] if meta_nf else [f.action for f in forms],
                      [] if meta_nf else [f.body for f in forms],
-                     nofollow, set_ck, req_ck, meta_nf, canon_raw))
+                     nofollow, set_ck, req_ck, meta_nf, canon_raw,
+                     retry_after))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -278,7 +286,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                          f"{row[1]}{action}",
                          render_html(f"{row[1]}{action}", sp, [], []),
                          [s._asdict() for s in sp], [], [], [], [],
-                         None, None, False, None)
+                         None, None, False, None, None)
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -298,7 +306,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                      f"{ch}/chain/{i}x",
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
                      [s._asdict() for s in sp], [], [], [], [],
-                     None, None, False, None))
+                     None, None, False, None, None))
 
     # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
     # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
@@ -313,7 +321,7 @@ def generate(n_pages: int = 300, seed: int = 42,
             lat = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
             return (u, h, path, status, None, None, lat, f"{h}{path}",
                     body, [s._asdict() for s in spans], outlinks,
-                    [], [], [], None, None, False, None)
+                    [], [], [], None, None, False, None, None)
 
         sm_hosts = [h for h in hosts if srng.random() < 0.25]
         for idx, h in enumerate(sm_hosts):

@@ -90,11 +90,18 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
              max_rounds: int | None = None,
              cache: dict[str, tuple] | None = None) -> OracleResult:
     """``cache`` is the X12 HTTP-cache: {fingerprint: (status,
-    redirect_to, body_html)}. When cfg.http_cache is on, non-retryable
-    responses are appended to it IN PLACE (so a caller can chain runs) and
-    hits are served without consuming the per-host politeness budget,
-    carry, or AutoThrottle state — they bypass the download slot
-    [S:scrapy/downloadermiddlewares/httpcache.py]."""
+    redirect_to, body_html, epoch)} plus the bookkeeping key
+    ``"__epoch__"`` (the current cache epoch — one per caching round,
+    mirroring the engine's one-published-dir-per-round). When
+    cfg.http_cache is on, non-retryable responses are appended IN PLACE
+    (so a caller can chain runs) and FRESH hits are served without
+    consuming the per-host politeness budget, carry, or AutoThrottle
+    state — they bypass the download slot
+    [S:scrapy/downloadermiddlewares/httpcache.py]. With
+    cfg.httpcache_expiration_rounds = N > 0 an entry is fresh while
+    cur_epoch - entry_epoch <= N; an expired entry is a MISS and the
+    re-fetch re-caches it at the current epoch (r3 TTL —
+    HTTPCACHE_EXPIRATION_SECS analogue in epochs)."""
     pages = {
         r.url_canon: r for r in fixture["pages"].itertuples(index=False)
     }
@@ -112,6 +119,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     pending: dict[str, _Req] = {}
     carry: dict[str, float] = {}
     at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
+    ra_state: dict[str, float] = {}   # X10->F4 pending Retry-After (r3)
     cookies: set[tuple[str, str]] = set()   # X13 (host, cookie) session state
     next_seq = 0
     rank = 0
@@ -126,10 +134,13 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
     def delay_used(host: str) -> float:
         base = eff_delay(host)
-        if not cfg.autothrottle:
-            return base
-        return min(max(at_state.get(host, cfg.at_start_delay_s), base),
-                   cfg.at_max_delay_s)
+        d = base if not cfg.autothrottle else \
+            min(max(at_state.get(host, cfg.at_start_delay_s), base),
+                cfg.at_max_delay_s)
+        if cfg.honor_retry_after:
+            # one-shot Retry-After clamp (max with the normal delay)
+            d = max(d, ra_state.get(host, 0.0))
+        return d
 
     def max_conc(host: str) -> int:
         p = policy.get(host)
@@ -185,6 +196,14 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         avail_by_host: dict[str, float] = {}
         budget_by_host: dict[str, int] = {}
         use_cache = cfg.http_cache and cache is not None
+        cur_epoch = cache.get("__epoch__", 0) if use_cache else 0
+        ttl = cfg.httpcache_expiration_rounds
+
+        def cache_fresh(fp: str) -> bool:
+            if not use_cache or fp not in cache or fp == "__epoch__":
+                return False
+            return ttl <= 0 or cur_epoch - cache[fp][3] <= ttl
+
         for host, reqs in by_host.items():
             budget, avail = cfg.budget_for(delay_used(host), max_conc(host),
                                            carry.get(host, 0.0))
@@ -194,10 +213,12 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                                      -q.seq if cfg.lifo else q.seq))
             if use_cache:
                 # X12: the budget gates only requests that will hit the
-                # network; cache hits all ship this round, re-ranked into
-                # the host's R4 order
-                uncached = [q for q in reqs if q.fingerprint not in cache]
-                kept = [q for q in reqs if q.fingerprint in cache]                     + uncached[:budget]
+                # network; FRESH cache hits all ship this round, re-ranked
+                # into the host's R4 order
+                uncached = [q for q in reqs
+                            if not cache_fresh(q.fingerprint)]
+                kept = [q for q in reqs if cache_fresh(q.fingerprint)] \
+                    + uncached[:budget]
                 kept.sort(key=lambda q: (-q.priority,
                                          -q.seq if cfg.lifo else q.seq))
             else:
@@ -212,16 +233,18 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         fetched_per_host: dict[str, int] = {}
         responses_per_host: dict[str, list[tuple[float, int]]] = {}
         new_grants: set[tuple[str, str]] = set()
+        round_ra: dict[str, float] = {}   # max Retry-After seen this round
         round_base = next_seq
 
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
         for req in fetch_list:
             del pending[req.fingerprint]
-            hit = use_cache and req.fingerprint in cache
+            hit = cache_fresh(req.fingerprint)
             page = pages.get(req.url_canon)
             if hit:
                 # X12 cache hit: served locally — no budget/carry/AT cost
-                status, cached_redirect, cached_body = cache[req.fingerprint]
+                status, cached_redirect, cached_body, _ = \
+                    cache[req.fingerprint]
                 mc(req.host, "cached")
             else:
                 fetched_per_host[req.host] = \
@@ -244,6 +267,11 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     if page is not None else 0.0
                 responses_per_host.setdefault(req.host, []) \
                     .append((lat_s, status))
+                if status in (429, 503) and page is not None:
+                    ra = getattr(page, "retry_after_s", None)
+                    if ra is not None and not pd.isna(ra):
+                        round_ra[req.host] = max(
+                            round_ra.get(req.host, 0.0), float(ra))
             rank += 1
             res.crawl_order.append({
                 "rank": rank, "fingerprint": req.fingerprint,
@@ -287,8 +315,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             else:
                 mc(req.host, "errors")
             if use_cache and not hit and status not in RETRY_CODES:
-                # DummyPolicy: store every non-retryable response
-                cache[req.fingerprint] = (status, redirect_tgt, body)
+                # DummyPolicy: store every non-retryable response at the
+                # current epoch (re-caching an expired entry refreshes it)
+                cache[req.fingerprint] = \
+                    (status, redirect_tgt, body, cur_epoch)
             if cfg.cookies_enabled and status == 200 and page is not None:
                 set_ck = getattr(page, "set_cookie", None)
                 if isinstance(set_ck, str) and set_ck:
@@ -351,8 +381,18 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 at_state[host] = cfg.at_fold(
                     at_state.get(host, cfg.at_start_delay_s),
                     responses_per_host[host], eff_delay(host))
+        for host in by_host:
+            # X10->F4 (r3): record this round's signal / clear the
+            # one-shot — AFTER the carry update consumed the old value
+            if host in round_ra:
+                ra_state[host] = round_ra[host]
+            else:
+                ra_state.pop(host, None)
 
         cookies |= new_grants   # X13: grants take effect NEXT round
+        if use_cache:
+            # one epoch per caching round (engine: one published dir)
+            cache["__epoch__"] = cur_epoch + 1
 
         for host, d in sorted(m.items()):
             res.metrics.append({"round": rnd, "host": host, **d})

@@ -159,3 +159,46 @@ def test_cache_publish_transactional_with_commit(spark, tmp_path_factory):
     pd.testing.assert_frame_equal(got, want)
     m = eng2.metrics_df(man2).toPandas()
     assert m.cached.sum() == 0   # first crawl: the cache never serves
+
+
+def test_cache_ttl_expired_entries_refetch(spark, tmp_path_factory):
+    """X12 TTL (r3): run B shares run A's cache but sets
+    httpcache_expiration_rounds = roundsA - 1, so exactly the epoch-0
+    entries (seeds + first batch) are stale: B re-fetches them over the
+    network while later-epoch entries serve as hits. The run must be a
+    MIX of hits and re-fetches and match the oracle's TTL model exactly.
+    (The TTL never affects run A: its cache starts empty and within-run
+    re-fetches are impossible — the seen set blocks re-enqueue and
+    retryable responses are never cached.)"""
+    cfg_a = _cfg()
+    fx = str(tmp_path_factory.mktemp("ttl_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg_a, chain_len=0)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    cache_dir = str(tmp_path_factory.mktemp("ttl_cache"))
+
+    oracle_cache: dict = {}
+    oracle_a = simulate(pdfs, cfg_a, cache=oracle_cache)
+    eng_a = CrawlEngine(spark, fx,
+                        str(tmp_path_factory.mktemp("ttl_run_a")),
+                        cfg_a, cache_dir=cache_dir)
+    eng_a.run()
+    assert oracle_a.rounds > 2
+    assert oracle_cache["__epoch__"] == oracle_a.rounds
+
+    cfg_b = CrawlConfig(**{**cfg_a.to_dict(),
+                           "allowed_domains": cfg_a.allowed_domains,
+                           "httpcache_expiration_rounds":
+                               oracle_a.rounds - 1})
+    oracle_b = simulate(pdfs, cfg_b, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx,
+                        str(tmp_path_factory.mktemp("ttl_run_b")),
+                        cfg_b, cache_dir=cache_dir)
+    man_b = eng_b.run()
+    got = _order(eng_b, man_b)
+    want = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    m = eng_b.metrics_df(man_b).toPandas()
+    hits, fetched = int(m.cached.sum()), int(m.fetched.sum())
+    assert 0 < hits < fetched, (hits, fetched)   # mixed hits + re-fetches
