@@ -1062,6 +1062,102 @@ class CrawlEngine:
         return self.store.latest()
 
     # ------------------------------------------------------------------ #
+    def inject_seeds(self, seeds: pd.DataFrame) -> dict:
+        """Mid-crawl re-seeding with per-request ``dont_filter``
+        [S:scrapy/http/request::Request.dont_filter] (r3, VERDICT r02
+        missing #6): ``seeds`` has columns (url, dont_filter). Each row
+        consumes one enqueue_seq in list order (R2 discipline).
+        dont_filter=True rows enqueue even when their fingerprint is in
+        the seen set — the periodic listing-page re-fetch — while
+        dont_filter=False rows dedup normally (no-op when seen). A
+        fingerprint already PENDING is never duplicated (frontier
+        identity stays the fingerprint). Amends the latest committed
+        snapshot atomically: frontier full-rewrite (doubles as a delta
+        compaction), seen + bloom shards grow by the genuinely-new
+        fingerprints, next_seq/pending advance."""
+        spark, cfg = self.spark, self.cfg
+        manifest = self.store.latest()
+        st = manifest["state"]
+        next_seq = st["next_seq"]
+        rnd = manifest["round"]
+
+        rows = [(str(r.url), bool(r.dont_filter), next_seq + i)
+                for i, r in enumerate(seeds.itertuples(index=False))]
+        sdf = spark.createDataFrame(
+            rows, "url string, dont_filter boolean, enqueue_seq long")
+        cand = (sdf.withColumn("url_canon", self.canon_udf(F.col("url")))
+                .withColumn("method", F.lit("GET"))
+                .withColumn("body", F.lit(""))
+                .withColumn("fingerprint",
+                            F.sha1(F.concat("method", "url_canon", "body")))
+                .withColumn("host", self.host_udf(F.col("url_canon")))
+                .withColumn("priority", F.lit(0))
+                .withColumn("depth", F.lit(0))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("redirect_chain",
+                            F.array().cast("array<string>")))
+        w = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
+        cand = (cand.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))   # intra-batch: first wins
+
+        frontier = self._read_frontier(manifest)
+        seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
+        eligible = cand.filter(F.col("dont_filter")).unionByName(
+            cand.filter(~F.col("dont_filter"))
+            .join(seen, "fingerprint", "left_anti"))
+        new_rows = (eligible
+                    .join(frontier.select("fingerprint"),
+                          "fingerprint", "left_anti")
+                    .select(*[f.name for f in FRONTIER_SCHEMA])).cache()
+        n_new = new_rows.count()
+        frontier_next = frontier.unionByName(new_rows)
+        seen_delta = (cand.select("fingerprint")
+                      .join(seen, "fingerprint", "left_anti")).cache()
+
+        tables = {k: list(v) for k, v in manifest["tables"].items()}
+        # injection writes live in the r9xxxxx namespace, one fresh slot
+        # per call (derived from dirs on disk, so repeated injections —
+        # even across engine instances — never overwrite a directory a
+        # lazy plan is still reading)
+        tag = 900000 + len(os.listdir(
+            os.path.join(self.store.root, "data", "frontier")))
+        fpath = self.store.write_round(frontier_next, "frontier", tag)
+        spath = self.store.write_round(seen_delta.coalesce(1), "seen", tag)
+        tables["frontier"] = [fpath]
+        tables["frontier_delta"] = []   # full rewrite == compaction
+        tables["seen"] = tables.get("seen", []) + [spath]
+
+        # bloom shards MUST grow with seen (a missing bit would make the
+        # bloom prefilter treat a seen fingerprint as fresh)
+        delta_pd = pd.read_parquet(spath, columns=["fingerprint"])
+        if cfg.use_bloom:
+            bits = {s: bytearray(b)
+                    for s, b in self._shard_bits(manifest).items()}
+            for fp in delta_pd["fingerprint"]:
+                s, poss = bloom.bit_positions_py(fp, cfg)
+                buf = bits.setdefault(
+                    s, bytearray(cfg.bloom_bits_per_shard // 8))
+                for p in poss:
+                    buf[p >> 3] |= 1 << (p & 7)
+            new_bits = {s: bytes(b) for s, b in bits.items()}
+            shards_pdf = pd.DataFrame(
+                {"shard": sorted(new_bits),
+                 "bits": [new_bits[s] for s in sorted(new_bits)]})
+            tables["seen_shards"] = [self.store.write_round(
+                spark.createDataFrame(shards_pdf, SHARDS_SCHEMA),
+                "seen_shards", tag)]
+            if cfg.driver_shard_cache:
+                self._shard_cache = (rnd, new_bits)
+
+        state = dict(st)
+        state["next_seq"] = next_seq + len(rows)
+        state["pending"] = st["pending"] + n_new
+        self.store.commit(rnd, state, tables)
+        new_rows.unpersist()
+        seen_delta.unpersist()
+        return self.store.latest()
+
+    # ------------------------------------------------------------------ #
     def run(self, max_rounds: int | None = None, resume: bool = False) -> dict:
         """Run the crawl to completion (F6 stop conditions); returns the
         final manifest. ``resume=True`` continues from the last committed

@@ -88,7 +88,9 @@ def _suffix_match(host: str, domains: tuple[str, ...]) -> bool:
 
 def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
              max_rounds: int | None = None,
-             cache: dict[str, tuple] | None = None) -> OracleResult:
+             cache: dict[str, tuple] | None = None,
+             reseed: tuple[int, list[tuple[str, bool]]] | None = None
+             ) -> OracleResult:
     """``cache`` is the X12 HTTP-cache: {fingerprint: (status,
     redirect_to, body_html, epoch)} plus the bookkeeping key
     ``"__epoch__"`` (the current cache epoch — one per caching round,
@@ -161,6 +163,21 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     max_r = max_rounds if max_rounds is not None else cfg.max_rounds
 
     for rnd in range(max_r):
+        if reseed is not None and rnd == reseed[0]:
+            # r3 dont_filter re-seeding [S:scrapy Request.dont_filter]:
+            # each re-seed consumes a seq in list order; dont_filter=True
+            # enqueues even when seen (unless already pending);
+            # dont_filter=False dedups normally; seen grows either way
+            for url, dflt in reseed[1]:
+                canon = canonicalize_url(url)
+                fp = fingerprint_hex(canon)
+                seq = next_seq
+                next_seq += 1
+                known = fp in res.seen
+                res.seen.add(fp)
+                if (dflt or not known) and fp not in pending:
+                    pending[fp] = _Req(
+                        fp, canon, urlsplit(canon).hostname or "", 0, 0, seq)
         if not pending:
             break
         res.rounds = rnd + 1

@@ -86,7 +86,10 @@ def host_sessions(stream: DataFrame, gap_s: int = 10,
     crawl-activity sessions via ``applyInPandasWithState`` — a session is
     a run of fetches for one host with no gap > ``gap_s`` of event time;
     closed sessions are emitted when the watermark passes session_end +
-    gap (EventTimeTimeout) or when a new batch opens a later session.
+    gap (EventTimeTimeout) or when a later run within/after a batch
+    closes them. Batches are split into gap-delimited runs internally
+    (r3), so correctness does NOT depend on files_per_trigger=1 — a
+    micro-batch spanning several rounds emits every interior session.
 
     This is the arbitrary-stateful-processing shape Spark reserves for
     logic windows can't express: the state (session start/end/count) lives
@@ -131,19 +134,36 @@ def host_sessions(stream: DataFrame, gap_s: int = 10,
             return
         rows = pd.concat(list(pdfs))
         ts = rows["fetch_ts"].map(pd.Timestamp.timestamp).sort_values()
-        tmin, tmax, cnt = float(ts.iloc[0]), float(ts.iloc[-1]), len(ts)
+        # split the batch into gap-delimited RUNS (ADVICE r02: one
+        # micro-batch can span multiple rounds under files_per_trigger>1,
+        # so treating it as a single gap-free run silently merged
+        # sessions separated by > gap_s)
+        runs: list[tuple[float, float, int]] = []
+        cur_s = cur_l = None
+        cnt = 0
+        for t in (float(x) for x in ts):
+            if cur_s is None:
+                cur_s = cur_l = t
+                cnt = 1
+            elif t - cur_l > gap_s:
+                runs.append((cur_s, cur_l, cnt))
+                cur_s = cur_l = t
+                cnt = 1
+            else:
+                cur_l = t
+                cnt += 1
+        runs.append((cur_s, cur_l, cnt))
         if state.exists:
-            start, last, n = state.get
-            if tmin - last > gap_s:
-                # batch starts a NEW session: close the old one now
-                state.update((tmin, tmax, cnt))
-                state.setTimeoutTimestamp(int((tmax + gap_s) * 1000))
-                yield emit(start, last, n)
-                return
-            state.update((start, max(last, tmax), n + cnt))
-        else:
-            state.update((tmin, tmax, cnt))
-        state.setTimeoutTimestamp(int((state.get[1] + gap_s) * 1000))
+            s0, l0, n0 = state.get
+            if runs[0][0] - l0 <= gap_s:
+                runs[0] = (s0, max(l0, runs[0][1]), n0 + runs[0][2])
+            else:
+                runs.insert(0, (s0, l0, n0))
+        *closed, last_run = runs
+        state.update(last_run)
+        state.setTimeoutTimestamp(int((last_run[1] + gap_s) * 1000))
+        for r in closed:   # chronological order
+            yield emit(*r)
         return
 
     return (stream

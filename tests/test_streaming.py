@@ -114,3 +114,48 @@ def test_stateful_host_sessions(spark, engine_run, tmp_path):
         want_end, want_n = expected[key]
         assert round(r.session_end.timestamp(), 3) == want_end
         assert r.n_fetches == want_n
+
+
+def test_stateful_host_sessions_multifile_batches(spark, engine_run,
+                                                  tmp_path):
+    """ADVICE r02: under files_per_trigger=8 one micro-batch spans many
+    rounds; the operator must split it into gap-delimited runs instead of
+    merging distinct sessions. Every closed session must still match the
+    pandas ground truth, and MORE sessions close than under
+    one-file-per-trigger draining (interior runs emit immediately)."""
+    eng, manifest = engine_run
+    stream = cs.crawl_order_stream(spark, eng.store.root,
+                                   files_per_trigger=8)
+    sess = cs.host_sessions(stream, gap_s=10, late_s=LATE_S)
+    out = str(tmp_path / "sess_out_mf")
+    cs.run_available_now(sess, out)
+    got = spark.read.parquet(f"{out}/out").toPandas()
+    assert len(got) > 0
+
+    co = eng.crawl_order_df(manifest).toPandas()
+    co["fetch_ts"] = (1_600_000_000 + co["round"].astype(float) * 8.0
+                      + (co["rank"].astype(float) % 8.0))
+    expected = {}
+    for host, grp in co.groupby("host"):
+        ts = grp["fetch_ts"].sort_values().to_numpy()
+        start, last, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > 10:
+                expected[(host, round(start, 3))] = (round(last, 3), n)
+                start, n = t, 0
+            last = t
+            n += 1
+        expected[(host, round(start, 3))] = (round(last, 3), n)
+
+    for r in got.itertuples():
+        key = (r.host, round(r.session_start.timestamp(), 3))
+        assert key in expected, key
+        want_end, want_n = expected[key]
+        assert round(r.session_end.timestamp(), 3) == want_end
+        assert r.n_fetches == want_n
+    # interior sessions of a multi-round batch emit without waiting for
+    # the watermark: all fully-closed ground-truth sessions must appear
+    n_expected_closed = sum(
+        1 for (h, s), (e, n) in expected.items()
+        if e < co["fetch_ts"].max() - 10)
+    assert len(got) >= n_expected_closed > 0
