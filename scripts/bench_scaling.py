@@ -70,10 +70,11 @@ def ensure_fixture(n_pages: int) -> str:
     # chain): scaling measures the engine, not feature-induced changes in
     # discovery volume — same choice as bench.py
     fx = os.path.join(tempfile.gettempdir(),
-                      f"crawlspark_scaling_fx_v4_{n_pages}")
+                      f"crawlspark_scaling_fx_v5_{n_pages}")
     if not os.path.isdir(fx):
         write_fixture(fx, n_pages=n_pages, seed=42, config=crawl_config(),
-                      chain_len=0, with_cookies=False, with_nofollow=False)
+                      chain_len=0, with_cookies=False, with_nofollow=False,
+                      with_sitemaps=False, with_meta=False)
     return fx
 
 
@@ -85,8 +86,8 @@ def _kernel_frames(spark, fx: str, rep: int):
     fingerprint (one scheduler-round's per-URL pipeline)."""
     from pyspark.sql import functions as F
     from crawlspark.engine import SPAN_STRUCT, _extract_fn
-    from pyspark.sql.types import (ArrayType, StringType, StructField,
-                                   StructType)
+    from pyspark.sql.types import (ArrayType, BooleanType, StringType,
+                                   StructField, StructType)
 
     cores = spark.sparkContext.defaultParallelism
     pages = spark.read.parquet(os.path.join(fx, "pages.parquet")) \
@@ -107,7 +108,9 @@ def _kernel_frames(spark, fx: str, rep: int):
                          StructField("outforms_action",
                                      ArrayType(StringType())),
                          StructField("outforms_body",
-                                     ArrayType(StringType()))])
+                                     ArrayType(StringType())),
+                         StructField("is_sitemap", BooleanType()),
+                         StructField("canonical_url", StringType())])
     extracted = big.select("url_canon", "body_html") \
         .mapInPandas(_extract_fn(["url_canon"]), schema)
     links = (extracted
