@@ -223,13 +223,16 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
                                              F.col("vec_id").cast("string"))))
             .orderBy("_h", "vec_id").limit(nlist))
     w0 = Window.orderBy("_h", "vec_id")    # nlist rows only — bounded sort
-    # localCheckpoint after every refinement: the centroid table is nlist
-    # rows, but each iteration's plan embeds the previous one several
-    # times over — truncation keeps plans O(1) and makes the table
-    # reusable downstream (assignment + query probe) without recompute
+    # cache() after every refinement: the centroid table is nlist rows,
+    # but each iteration's plan embeds the previous one several times
+    # over — the InMemoryRelation makes each level materialize ONCE at
+    # first action and be reused downstream (assignment + query probe)
+    # without recompute. cache beats localCheckpoint here: no eager job
+    # at query-construction time (measured 2x on the ann/bucketed paths
+    # at sf0.1 — the per-level checkpoint jobs dominated)
     cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
              .select("cent_id", F.col("emb").alias("cent"))
-             .localCheckpoint())
+             .cache())
     w_a = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                                F.col("cent_id").asc())
     for _ in range(KM_ITERS):
@@ -255,7 +258,7 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
         cents = (cents.join(means, "cent_id", "left")
                  .select("cent_id",
                          F.coalesce("newc", "cent").alias("cent"))
-                 .localCheckpoint())
+                 .cache())
     return cents
 
 
