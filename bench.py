@@ -30,8 +30,9 @@ HEADLINE = [
     "revenue_by_nation", "window_lag", "tumbling_hourly", "seen_anti_join",
     "docs_token_stats", "docs_ngram_pairs", "docs_minhash_lsh",
     "docs_simhash", "docs_minhash_verified", "docs_dedup_clusters",
-    "emb_cosine_topk", "emb_ann_lsh", "emb_ann_ivf",
-    "emb_near_dup_bucketed", "dedup_clusters", "event_sessions",
+    "docs_canonical_dedup", "emb_cosine_topk", "emb_ann_lsh",
+    "emb_ann_ivf", "emb_near_dup_bucketed", "dedup_clusters",
+    "event_sessions",
 ]
 
 

@@ -149,11 +149,11 @@ def test_dedup_clusters_planted_ground_truth(spark, planted_dir):
 
 
 def test_label_propagation_long_chain_converges(spark):
-    """VERDICT r02 finding #1: the old loop silently capped at 32
+    """VERDICT r02 finding #1: the r2 loop silently capped at 32
     iterations, returning WRONG labels for any component with diameter
-    > 32. Plant a 48-vertex path graph (diameter 47, needing ~47
-    min-label rounds) plus a disjoint triangle: every vertex must get the
-    true component minimum, matching union-find exactly."""
+    > 32. Plant a 48-vertex path graph (diameter 47) plus a disjoint
+    triangle: every vertex must get the true component minimum, matching
+    union-find exactly."""
     from crawlspark.similarity import label_propagation
 
     chain = [(i, i + 1) for i in range(47)]          # path 0-1-...-47
@@ -167,14 +167,47 @@ def test_label_propagation_long_chain_converges(spark):
     assert all(got[v] == 100 for v in (100, 101, 102))
 
 
+def test_label_propagation_log_rounds_on_long_chain(spark):
+    """The alternating large-star/small-star algorithm converges in
+    O(log n) ROUNDS, independent of diameter: a 300-vertex path (which
+    plain min-label propagation needs ~300 rounds for) must finish
+    within 20 and still match union-find."""
+    from crawlspark.similarity import label_propagation
+
+    chain = [(i, i + 1) for i in range(299)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    got = {r.vid: r.keeper for r in
+           label_propagation(pairs, "a", "b", "vid", "keeper").collect()}
+    assert got == {v: 0 for v in range(300)}
+    assert label_propagation.last_iters <= 20, label_propagation.last_iters
+
+
+def test_label_propagation_random_graph_matches_union_find(spark):
+    """Seeded random multigraph (collisions, multiple components):
+    labels must equal union-find exactly."""
+    import random
+
+    from crawlspark.similarity import label_propagation
+
+    rng = random.Random(1234)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.vid: r.keeper for r in
+           label_propagation(pairs, "a", "b", "vid", "keeper").collect()}
+    truth = _union_find({tuple(sorted(e)) for e in edges})
+    assert got == truth
+
+
 def test_label_propagation_raises_on_cap(spark):
     """The defensive bound RAISES instead of returning non-converged
-    labels (no silent wrong-answer path)."""
+    labels (no silent wrong-answer path): one round cannot collapse a
+    30-vertex path."""
     import pytest as _pytest
 
     from crawlspark.similarity import label_propagation
 
-    pairs = spark.createDataFrame([(i, i + 1) for i in range(10)],
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)],
                                   "a long, b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        label_propagation(pairs, "a", "b", "v", "k", max_iters=3)
+        label_propagation(pairs, "a", "b", "v", "k", max_iters=1)
