@@ -299,6 +299,9 @@ class CrawlEngine:
     # ------------------------------------------------------------------ #
     def bootstrap(self) -> dict:
         cfg = self.cfg
+        n_seeds = len(pd.read_parquet(
+            os.path.join(self.fixture_dir, "seeds.parquet"),
+            columns=["seed_id"]))
         s = (self.seeds
              .withColumn("url_canon", self.canon_udf(F.col("url")))
              .withColumn("method", F.lit("GET"))
@@ -311,7 +314,42 @@ class CrawlEngine:
              .withColumn("depth", F.lit(0))
              .withColumn("retry_count", F.lit(0))
              .withColumn("redirect_chain",
-                         F.array().cast("array<string>")))
+                         F.array().cast("array<string>"))
+             .select([f.name for f in FRONTIER_SCHEMA]))
+        # F7 r3: robots.txt `Sitemap:` declarations seed too
+        # [S:scrapy/spiders/sitemap.py — sitemap_urls may name robots.txt,
+        # whose Sitemap: lines are followed]. They consume enqueue_seqs
+        # AFTER the explicit seed list, ordered (host asc, position) —
+        # deterministic R1 extension mirrored by the oracle.
+        n_extra = 0
+        if cfg.sitemaps_enabled and "sitemap_urls" in self.robots.columns:
+            n_extra = int(sum(
+                len(x) for x in pd.read_parquet(
+                    os.path.join(self.fixture_dir, "robots.parquet"),
+                    columns=["sitemap_urls"])["sitemap_urls"]))
+        if n_extra:
+            w_r = Window.orderBy(F.col("_rhost").asc(), F.col("_pos").asc())
+            rsm = (self.robots
+                   .select(F.col("host").alias("_rhost"),
+                           F.posexplode("sitemap_urls").alias("_pos", "url"))
+                   .withColumn("_rn", F.row_number().over(w_r))
+                   .withColumn("url_canon", self.canon_udf(F.col("url")))
+                   .withColumn("method", F.lit("GET"))
+                   .withColumn("body", F.lit(""))
+                   .withColumn("fingerprint",
+                               F.sha1(F.concat("method", "url_canon",
+                                               "body")))
+                   .withColumn("host", self.host_udf(F.col("url_canon")))
+                   .withColumn("enqueue_seq",
+                               (F.lit(n_seeds) + F.col("_rn") - 1)
+                               .cast("long"))
+                   .withColumn("priority", F.lit(0))
+                   .withColumn("depth", F.lit(0))
+                   .withColumn("retry_count", F.lit(0))
+                   .withColumn("redirect_chain",
+                               F.array().cast("array<string>"))
+                   .select([f.name for f in FRONTIER_SCHEMA]))
+            s = s.unionByName(rsm)
         w = Window.partitionBy("fingerprint").orderBy("enqueue_seq")
         frontier = (s.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
@@ -329,12 +367,10 @@ class CrawlEngine:
             paths = {n: f.result() for n, f in futs.items()}
         tables = {n: [paths[n]] for n, _ in writes}
         # scalar state from local parquet — no extra count() jobs
-        n_seeds = len(pd.read_parquet(
-            os.path.join(self.fixture_dir, "seeds.parquet"),
-            columns=["seed_id"]))
         n_distinct = len(pd.read_parquet(paths["seen"],
                                          columns=["fingerprint"]))
-        state = {"next_seq": n_seeds, "next_rank": 1, "total_fetched": 0,
+        state = {"next_seq": n_seeds + n_extra, "next_rank": 1,
+                 "total_fetched": 0,
                  "config": cfg.to_dict(), "pending": n_distinct}
         frontier.unpersist()
         for t in ("documents", "crawl_order", "metrics", "lineage",

@@ -316,6 +316,12 @@ def generate(n_pages: int = 300, seed: int = 42,
     # layout never perturbs the page/status/link draws.
     srng = random.Random(seed ^ 0x5173AB)
     sitemap_seed_urls: list[str] = []
+    # F7 r3: sitemaps are discovered two ways, alternating by host —
+    # even-indexed sitemap hosts are SEEDED directly, odd-indexed ones
+    # are declared ONLY via a robots.txt `Sitemap:` line
+    # [S:scrapy/spiders/sitemap.py — sitemap_urls may point at
+    # robots.txt]; deterministic split, no extra rng draws
+    robots_sitemaps: dict[str, list[str]] = {}
     if with_sitemaps:
         def _page_row(u, h, path, status, body, spans, outlinks):
             lat = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
@@ -352,7 +358,10 @@ def generate(n_pages: int = 300, seed: int = 42,
                 outl = locs
             rows.append(_page_row(sm_url, h, "/sitemap.xml", 200,
                                   body, [], outl))
-            sitemap_seed_urls.append(sm_url)
+            if idx % 2 == 0:
+                sitemap_seed_urls.append(sm_url)
+            else:
+                robots_sitemaps[h] = [sm_url]
 
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 
@@ -370,10 +379,10 @@ def generate(n_pages: int = 300, seed: int = 42,
             if rng.random() < 0.5:
                 alw.append("/hotel/*7$")
         delay = round(rng.choice([0.0, 0.25, 0.5, 1.0]), 2) or None
-        rrows.append((h, alw, dis, delay))
+        rrows.append((h, alw, dis, delay, robots_sitemaps.get(h, [])))
     robots = pd.DataFrame(
         rrows, columns=["host", "allow_prefixes", "disallow_prefixes",
-                        "crawl_delay_s"])
+                        "crawl_delay_s", "sitemap_urls"])
 
     # --- host_policy: mega hosts get salt_n>1 (explicit skew handling J6)
     prows = []

@@ -158,6 +158,22 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             continue
         res.seen.add(fp)
         pending[fp] = _Req(fp, canon, urlsplit(canon).hostname or "", 0, 0, seq)
+    # F7 r3: robots.txt `Sitemap:` declarations seed after the explicit
+    # seed list, (host asc, position) order [S:scrapy/spiders/sitemap.py]
+    rdf = fixture["robots"]
+    if cfg.sitemaps_enabled and "sitemap_urls" in rdf.columns:
+        for _, rrow in rdf.sort_values("host").iterrows():
+            for u in (rrow["sitemap_urls"]
+                      if rrow["sitemap_urls"] is not None else []):
+                canon = canonicalize_url(u)
+                fp = fingerprint_hex(canon)
+                seq = next_seq
+                next_seq += 1
+                if fp in res.seen:
+                    continue
+                res.seen.add(fp)
+                pending[fp] = _Req(fp, canon,
+                                   urlsplit(canon).hostname or "", 0, 0, seq)
 
     total_fetched = 0
     max_r = max_rounds if max_rounds is not None else cfg.max_rounds

@@ -89,3 +89,16 @@ def test_sitemaps_disabled_treats_xml_as_html(spark, tmp_path_factory):
         .astype(got.dtypes.to_dict()).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert not any("/orphan/" in u for u in got.url_canon)
+
+
+def test_robots_declared_sitemap_discovered(engine_run, fixture_pdfs):
+    """F7 r3: odd-indexed sitemap hosts declare their sitemap ONLY via a
+    robots.txt `Sitemap:` line — the engine must still discover, fetch
+    and expand it (enqueue_seqs after the explicit seed list)."""
+    robots = fixture_pdfs["robots"]
+    declared = {u for lst in robots.sitemap_urls for u in lst}
+    seed_urls = set(fixture_pdfs["seeds"].url)
+    robots_only = declared - seed_urls
+    assert robots_only, "fixture must have a robots-only sitemap host"
+    co = _order_pdf(engine_run)
+    assert robots_only <= set(co.url_canon)
