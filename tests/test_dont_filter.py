@@ -69,3 +69,37 @@ def test_dont_filter_reseed_oracle_exact(spark, tmp_path_factory):
     retried = set(got[got.status.isin(list(RETRY_CODES))].fingerprint)
     dupes = {fp for fp, c in counts.items() if c > 1}
     assert dupes <= {fp0, fp1} | retried
+
+
+def test_dont_filter_reseed_in_delta_mode(spark, tmp_path_factory):
+    """inject_seeds amends the frontier as a full rewrite that doubles as
+    a delta compaction — under frontier_deltas=True the resumed run must
+    still be rank-exact vs the oracle."""
+    from crawlspark.config import CrawlConfig
+
+    base = default_config()
+    cfg = CrawlConfig(**{**base.to_dict(),
+                         "allowed_domains": base.allowed_domains,
+                         "frontier_deltas": True,
+                         "frontier_compact_every": 3})
+    fx = str(tmp_path_factory.mktemp("dfd_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    root0 = f"https://{MEGA_HOSTS[0]}/"
+    reseeds = [(root0, True)]
+    oracle = simulate(pdfs, cfg, reseed=(K, reseeds))
+
+    eng = CrawlEngine(spark, fx, str(tmp_path_factory.mktemp("dfd_run")),
+                      cfg)
+    eng.run(max_rounds=K)
+    eng.inject_seeds(pd.DataFrame(
+        [{"url": u, "dont_filter": d} for u, d in reseeds]))
+    manifest = eng.run(resume=True)
+    got = (eng.crawl_order_df(manifest).orderBy("rank")
+           .toPandas()[ORDER_COLS].reset_index(drop=True))
+    want = pd.DataFrame(oracle.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    fp0 = fingerprint_hex(canonicalize_url(root0))
+    assert (got.fingerprint == fp0).sum() == 2
