@@ -32,14 +32,31 @@ FETCH_SCHEMA = StructType([
     StructField("latency_ms", DoubleType()),
     StructField("body_html", StringType()),
     StructField("redirect_to", StringType()),
+    # X15 r3: parsed Retry-After header seconds (null when absent) — the
+    # engine's politeness coupling consumes this column on 429/503
+    StructField("retry_after_s", DoubleType()),
 ])
 
 
+def parse_retry_after(value: str | None) -> float | None:
+    """Retry-After header -> seconds. Handles the delta-seconds form
+    (RFC 9110 §10.2.3); the HTTP-date form needs a reference clock the
+    deterministic engine deliberately excludes, so it maps to None."""
+    if not value:
+        return None
+    try:
+        s = float(value.strip())
+        return s if s >= 0 else None
+    except ValueError:
+        return None
+
+
 def default_opener(url: str, timeout_s: float, method: str = "GET",
-                   body: str = "") -> tuple[int, str, str | None]:
-    """(status, body, redirect_location) via urllib; POST bodies are sent
-    urlencoded (FormRequest analogue). Real-cluster path; unreachable in
-    this sandbox (no network)."""
+                   body: str = "") \
+        -> tuple[int, str, str | None, float | None]:
+    """(status, body, redirect_location, retry_after_s) via urllib; POST
+    bodies are sent urlencoded (FormRequest analogue). Real-cluster path;
+    unreachable in this sandbox (no network)."""
     import urllib.error
     import urllib.request
 
@@ -53,12 +70,14 @@ def default_opener(url: str, timeout_s: float, method: str = "GET",
     try:
         with opener.open(req, timeout=timeout_s) as resp:
             return int(resp.status), resp.read().decode(
-                "utf-8", errors="replace"), None
+                "utf-8", errors="replace"), None, None
     except urllib.error.HTTPError as e:
         loc = e.headers.get("Location") if e.headers else None
-        return int(e.code), "", loc
+        ra = parse_retry_after(
+            e.headers.get("Retry-After") if e.headers else None)
+        return int(e.code), "", loc, ra
     except Exception:
-        return 599, "", None   # connection-level failure (retryable class)
+        return 599, "", None, None  # connection-level failure (retryable)
 
 
 def http_fetch_batch(
@@ -86,8 +105,12 @@ def http_fetch_batch(
             def one(args):
                 url, method, body = args
                 t0 = time.time()
-                status, rbody, loc = op(url, timeout_s, method, body)
-                return status, (time.time() - t0) * 1000.0, rbody, loc
+                out = op(url, timeout_s, method, body)
+                # injected test openers may return the legacy 3-tuple
+                # (status, body, redirect); retry_after defaults to None
+                status, rbody, loc = out[:3]
+                ra = out[3] if len(out) > 3 else None
+                return status, (time.time() - t0) * 1000.0, rbody, loc, ra
 
             with ThreadPoolExecutor(max_workers=max_threads) as pool:
                 rows = list(pool.map(one, zip(urls, methods, bodies)))
@@ -97,6 +120,8 @@ def http_fetch_batch(
                 "latency_ms": [r[1] for r in rows],
                 "body_html": [r[2] for r in rows],
                 "redirect_to": [r[3] for r in rows],
+                "retry_after_s": pd.array([r[4] for r in rows],
+                                          dtype="float64"),
             })
 
     cols = ["url_canon", "method", "body"] if has_mb else ["url_canon"]

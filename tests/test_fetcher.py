@@ -68,3 +68,33 @@ def test_post_method_and_body_passthrough(spark):
     assert "POST https://h.test/form q=a&b=c" in \
         rows["https://h.test/form"]["body_html"]
     assert "GET https://h.test/page" in rows["https://h.test/page"]["body_html"]
+
+
+def test_retry_after_surfaced(spark):
+    """X15 r3: a 4-tuple opener's Retry-After seconds reach the
+    retry_after_s column; legacy 3-tuple openers yield null."""
+    from crawlspark import fetcher
+
+    def ra_opener(url, timeout_s, method="GET", body=""):
+        if url.endswith("/throttle"):
+            return 429, "", None, 30.0
+        return 200, "<html></html>", None, None
+
+    batch = spark.createDataFrame(
+        [("https://a.test/throttle",), ("https://a.test/ok",)],
+        "url_canon string")
+    rows = {r.url_canon: r for r in
+            fetcher.http_fetch_batch(batch, opener=ra_opener).collect()}
+    assert rows["https://a.test/throttle"].status == 429
+    assert rows["https://a.test/throttle"].retry_after_s == 30.0
+    assert rows["https://a.test/ok"].retry_after_s is None
+
+
+def test_parse_retry_after_forms():
+    from crawlspark.fetcher import parse_retry_after
+    assert parse_retry_after("120") == 120.0
+    assert parse_retry_after(" 5.5 ") == 5.5
+    assert parse_retry_after("-3") is None
+    assert parse_retry_after("Wed, 21 Oct 2015 07:28:00 GMT") is None
+    assert parse_retry_after(None) is None
+    assert parse_retry_after("") is None
