@@ -10,10 +10,11 @@ pytest recall contract against the exact baselines (tests/test_similarity.py):
   ``bit_count(sig ^ q_sig)`` — at 100 TB the sketch table is 32 B/vector
   vs 256 B of floats, so the shortlist scan is an 8x-cheaper
   bandwidth-bound pass (and composes with IVF cells for sub-linear probing).
-* ``emb_ann_ivf``   — coarse quantization with nprobe=4 multiprobe: the
-  query searches its 4 nearest cells instead of 1 (recall@10 goes from
-  6-9/10 to 9-10/10 on the driver fixtures at the cost of probing
-  nprobe/nlist of the corpus).
+* ``emb_ann_ivf``   — coarse quantization over SEEDED-K-MEANS cells
+  (md5-sampled init + 2 fold-order-pinned Lloyd iterations, bit-identical
+  in DuckDB) with multiprobe on BOTH sides: vectors live in their top-2
+  cells, the query searches its 6 nearest (balanced cells split boundary
+  neighbors; recall@10 re-measured 9-10/10).
 * ``emb_near_dup_bucketed`` — near-dup candidate pairs from shared IVF
   cells under top-k multi-assignment (an equi-join on the cell id — no
   BroadcastNestedLoopJoin anywhere in the plan), verified by exact cosine.
