@@ -53,6 +53,13 @@ class CrawlConfig:
     default_max_concurrency: int = 8        # CONCURRENT_REQUESTS_PER_DOMAIN [S]
     max_rounds: int = 1000                  # F6 safety stop
     page_budget: int = 0                    # F6 CLOSESPIDER_PAGECOUNT (0 = off)
+    item_budget: int = 0                    # F6 CLOSESPIDER_ITEMCOUNT (r3,
+                                            # 0 = off) [S:scrapy/extensions/
+                                            # closespider.py]: stop after the
+                                            # first round whose cumulative
+                                            # EMITTED document count reaches
+                                            # the budget (graceful close —
+                                            # the crossing round completes)
     bloom_shards: int = 16                  # D3 seen-filter shard count
     bloom_bits_per_shard: int = 1 << 17     # D3 shard bitset size (bits)
     bloom_hashes: int = 4                   # D3 k hash functions

@@ -370,7 +370,7 @@ class CrawlEngine:
         n_distinct = len(pd.read_parquet(paths["seen"],
                                          columns=["fingerprint"]))
         state = {"next_seq": n_seeds + n_extra, "next_rank": 1,
-                 "total_fetched": 0,
+                 "total_fetched": 0, "total_items": 0,
                  "config": cfg.to_dict(), "pending": n_distinct}
         frontier.unpersist()
         for t in ("documents", "crawl_order", "metrics", "lineage",
@@ -1055,10 +1055,15 @@ class CrawlEngine:
         sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \
             {k: 0 for k in METRIC_KEYS}
         fetched_total = sums["fetched"]
+        # F6 item budget (r3): items = emitted document rows this round,
+        # counted from the just-written parquet (no extra Spark job)
+        n_items = len(pd.read_parquet(paths["documents"],
+                                      columns=["doc_id"]))
         state = {
             "next_seq": next_seq + sums["discovered"],
             "next_rank": next_rank + fetched_total,
             "total_fetched": st["total_fetched"] + fetched_total,
+            "total_items": st.get("total_items", 0) + n_items,
             "config": st["config"],
             "pending": (st["pending"] - fetched_total - sums["robots_blocked"]
                         + sums["retried"] + sums["enqueued"]),
@@ -1209,6 +1214,10 @@ class CrawlEngine:
                 break
             if cfg.page_budget and \
                     manifest["state"]["total_fetched"] >= cfg.page_budget:
+                break
+            if cfg.item_budget and \
+                    manifest["state"].get("total_items", 0) \
+                    >= cfg.item_budget:
                 break
             prev = manifest
             manifest = self.run_round(manifest)

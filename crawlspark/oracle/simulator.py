@@ -119,6 +119,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
     res = OracleResult()
     pending: dict[str, _Req] = {}
+    items_emitted = 0   # F6 CLOSESPIDER_ITEMCOUNT analogue (r3)
     carry: dict[str, float] = {}
     at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
     ra_state: dict[str, float] = {}   # X10->F4 pending Retry-After (r3)
@@ -341,6 +342,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                         parse_page(req.url_canon, body)
                     res.documents[req.fingerprint] = \
                         [s._asdict() for s in spans]
+                    items_emitted += 1
                     if meta.canonical_raw:
                         res.canonical[req.fingerprint] = canonicalize_url(
                             absolutize(req.url_canon, meta.canonical_raw))
@@ -431,6 +433,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             res.metrics.append({"round": rnd, "host": host, **d})
 
         if cfg.page_budget and total_fetched >= cfg.page_budget:
+            break
+        if cfg.item_budget and items_emitted >= cfg.item_budget:
             break
         _ = round_base  # documented anchor for engine parity (R2)
 

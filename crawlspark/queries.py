@@ -497,6 +497,39 @@ FROM p GROUP BY 1
 """
 
 
+def q_docs_boilerplate_chunks(spark, sf):
+    """Chunk-level exact dedup / boilerplate detection (r3): tumbling
+    8-word chunks per document; a chunk appearing in >= 3 distinct
+    documents is boilerplate (the repeated-navigation/footer pass a
+    training-data pipeline runs before near-dup). Pure native split/
+    slice/explode + hash agg — the same inverted-index shape as the
+    shingle family, at stride 8 instead of 1."""
+    d = _t(spark, sf, "documents")
+    chunks = (d.withColumn("w", F.split(F.trim("text"), "\\s+"))
+              .filter(F.size("w") >= 8)
+              .select("doc_id", F.explode(F.expr(
+                  "transform(sequence(0, size(w) div 8 - 1),"
+                  " i -> concat_ws(' ', slice(w, i*8+1, 8)))")).alias("chunk"))
+              .distinct())
+    return (chunks.groupBy("chunk")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 3)
+            .select("chunk", "n_docs"))
+
+
+SQL_DOCS_BOILERPLATE_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8),
+ch AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i*8+1, i*8+8), ' ') AS chunk
+  FROM w, unnest(generate_series(0, len(w)//8 - 1)) g(i))
+SELECT chunk, COUNT(*) AS n_docs FROM ch GROUP BY 1 HAVING COUNT(*) >= 3
+"""
+
+
 def q_docs_token_stats(spark, sf):
     """Token counting (whitespace tokenizer) + per-lang stats."""
     d = _t(spark, sf, "documents")
@@ -1073,6 +1106,8 @@ QUERIES = {
     "docs_exact_dedup": (q_docs_exact_dedup, SQL_DOCS_EXACT_DEDUP),
     "docs_canonical_dedup": (q_docs_canonical_dedup,
                              SQL_DOCS_CANONICAL_DEDUP),
+    "docs_boilerplate_chunks": (q_docs_boilerplate_chunks,
+                                SQL_DOCS_BOILERPLATE_CHUNKS),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
     "docs_token_bpe": (q_docs_token_bpe, SQL_DOCS_TOKEN_BPE),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
