@@ -530,6 +530,43 @@ SELECT chunk, COUNT(*) AS n_docs FROM ch GROUP BY 1 HAVING COUNT(*) >= 3
 """
 
 
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+              "it", "for", "on", "with", "as", "at", "by", "this")
+
+
+def q_docs_top_terms(spark, sf):
+    """Vocabulary / document-frequency stats (r3): lowercase alphabetic
+    tokens, stopword-excluded, ranked by the number of distinct documents
+    containing the term (the df statistic TF-IDF-style quality filters
+    and vocab builders need); top 20, ties broken by term. Native
+    split/filter/explode + hash aggs."""
+    d = _t(spark, sf, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    terms = (d.withColumn("w", F.split(F.lower(F.trim("text")), "\\s+"))
+             .select("doc_id", F.explode(F.expr(
+                 f"filter(w, x -> x rlike '^[a-z]+$'"
+                 f" AND NOT x IN ({sw}))")).alias("term"))
+             .distinct())
+    return (terms.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(20))
+
+
+SQL_DOCS_TOP_TERMS = f"""
+WITH t AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                 AS term
+        FROM documents)
+  WHERE regexp_matches(term, '^[a-z]+$')
+    AND term NOT IN ({", ".join(f"'{w}'" for w in _STOPWORDS)}))
+SELECT term, COUNT(*) AS df FROM t GROUP BY 1
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+
 def q_docs_token_stats(spark, sf):
     """Token counting (whitespace tokenizer) + per-lang stats."""
     d = _t(spark, sf, "documents")
@@ -1108,6 +1145,7 @@ QUERIES = {
                              SQL_DOCS_CANONICAL_DEDUP),
     "docs_boilerplate_chunks": (q_docs_boilerplate_chunks,
                                 SQL_DOCS_BOILERPLATE_CHUNKS),
+    "docs_top_terms": (q_docs_top_terms, SQL_DOCS_TOP_TERMS),
     "docs_token_stats": (q_docs_token_stats, SQL_DOCS_TOKEN_STATS),
     "docs_token_bpe": (q_docs_token_bpe, SQL_DOCS_TOKEN_BPE),
     "docs_quality": (q_docs_quality, SQL_DOCS_QUALITY),
