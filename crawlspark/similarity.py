@@ -540,6 +540,22 @@ def label_propagation(pairs: DataFrame, a: str, b: str,
             f"{max_iters} rounds — should need O(log n); edge input may "
             "be mutating mid-loop")
     label_propagation.last_iters = iters
+    # structural validation: the fixed point must be a star FOREST —
+    # every leaf maps to exactly one center and no center is itself a
+    # leaf. This deterministically guards the (count, xor) convergence
+    # signature (a hash collision could otherwise smuggle a
+    # non-converged edge set through); two O(edges) jobs, run once.
+    multi = (edges.groupBy("_s").agg(F.count("*").alias("n"))
+             .filter(F.col("n") > 1).count())
+    chained = edges.alias("e1").join(
+        edges.alias("e2"), F.col("e1._d") == F.col("e2._s"),
+        "left_semi").count()
+    if multi or chained:
+        raise RuntimeError(
+            "label_propagation converged to a non-star edge set "
+            f"(multi-center leaves={multi}, chained centers={chained}) — "
+            "signature collision or algorithm bug; refusing to emit "
+            "labels")
     # converged edges are min-rooted stars: (leaf -> center). Any vertex
     # not appearing as a leaf is its component's center (labels itself).
     stars = edges.select(F.greatest("_s", "_d").alias("_leaf"),
