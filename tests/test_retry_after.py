@@ -102,3 +102,30 @@ def test_retry_after_oracle_exact(spark, tmp_path_factory, honor):
     else:
         # control: without honoring, round 2 drains at normal budget
         assert fetched[2] > 1
+
+
+def test_retry_after_composes_with_autothrottle(spark, tmp_path_factory):
+    """Interplay pin: with BOTH AutoThrottle and Retry-After active the
+    effective delay is max(clamped adaptive delay, retry_after) — engine
+    and oracle must agree rank for rank, and the post-429 round must
+    still collapse to one fetch (retry_after=50 dominates any AT state
+    below at_max)."""
+    fx = str(tmp_path_factory.mktemp("ra_at_graph"))
+    _graph(fx)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    cfg = CrawlConfig(allowed_domains=(HOST,), honor_retry_after=True,
+                      autothrottle=True, at_start_delay_s=0.5,
+                      at_target_concurrency=4.0)
+    oracle = simulate(pdfs, cfg)
+    eng = CrawlEngine(spark, fx,
+                      str(tmp_path_factory.mktemp("ra_at_run")), cfg)
+    manifest = eng.run()
+    got = (eng.crawl_order_df(manifest).orderBy("rank")
+           .toPandas()[ORDER_COLS].reset_index(drop=True))
+    want = pd.DataFrame(oracle.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    fetched = {r: int(n) for r, n in got.groupby("round").size().items()}
+    assert 429 in set(got[got["round"] == 1].status)
+    assert fetched[2] == 1
