@@ -65,6 +65,32 @@ class CrawlConfig:
     bloom_hashes: int = 4                   # D3 k hash functions
     use_bloom: bool = True                  # D3 prefilter on/off (exactness is
                                             # guaranteed by J3 either way)
+    seen_filter: str = "bloom"              # D3 prefilter kind when use_bloom:
+                                            # "bloom" (insert-only bitsets) or
+                                            # "cuckoo" (deletable tag table —
+                                            # north_star's "bloom/cuckoo";
+                                            # required to keep occupancy
+                                            # bounded under seen_ttl_rounds)
+    cuckoo_buckets_per_shard: int = 4096    # cuckoo buckets/shard (power of
+                                            # 2; 4 slots each, 16-bit tags ->
+                                            # 32 KiB + 1 flag byte per shard)
+    cuckoo_max_kicks: int = 256             # eviction budget before a shard
+                                            # degrades to sticky all-maybe-
+                                            # seen (never wrong, only less
+                                            # selective)
+    seen_ttl_rounds: int = 0                # D3/R3 re-crawl TTL (0 = off =
+                                            # Scrapy RFPDupeFilter forever-
+                                            # seen). N>0: a fingerprint's
+                                            # seen entry is LIVE for N rounds
+                                            # after its last enqueue or fetch
+                                            # (fetch refreshes it); an expired
+                                            # fingerprint rediscovered later
+                                            # re-enqueues — the periodic
+                                            # re-crawl schedule a production
+                                            # listing crawl needs. Dedup rule
+                                            # at round r: drop iff live
+                                            # (r - seen_round < N) OR still
+                                            # pending in the frontier.
     autothrottle: bool = False              # A5 AutoThrottle analogue, opt-in
                                             # (Scrapy default: disabled [S])
     at_start_delay_s: float = 5.0           # AUTOTHROTTLE_START_DELAY [S]

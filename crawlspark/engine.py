@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-from . import bloom
+from . import bloom, cuckoo
 from .config import IGNORED_EXT_RE, RETRY_CODES, CrawlConfig
 from .kernels.canon import make_udfs
 from .kernels.parse import parse_html
@@ -78,7 +78,13 @@ FRONTIER_SCHEMA = StructType([
     StructField("redirect_chain", ArrayType(StringType())),
 ])
 
-SEEN_SCHEMA = StructType([StructField("fingerprint", StringType())])
+SEEN_SCHEMA = StructType([
+    StructField("fingerprint", StringType()),
+    # round of the fingerprint's enqueue (or latest fetch-refresh when
+    # seen_ttl_rounds > 0); the TTL dedup filter reads it, default mode
+    # ignores it (rows stay one-per-fingerprint there)
+    StructField("seen_round", IntegerType()),
+])
 
 CRAWL_ORDER_SCHEMA = StructType([
     StructField("rank", LongType()),
@@ -354,7 +360,8 @@ class CrawlEngine:
         frontier = (s.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
                     .select([f.name for f in FRONTIER_SCHEMA]).cache())
-        seen = frontier.select("fingerprint")
+        seen = frontier.select(
+            "fingerprint", F.lit(0).cast("int").alias("seen_round"))
         empty_hs = self.spark.createDataFrame([], HOST_STATE_SCHEMA)
         empty_ck = self.spark.createDataFrame([], COOKIE_SCHEMA)
         shards = self._update_shards(None, seen)
@@ -381,10 +388,16 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _update_shards(self, shards_df: DataFrame | None,
-                       new_fps: DataFrame) -> DataFrame:
-        """D3: merge new fingerprints into the persistent bloom shards via a
-        cogrouped applyInPandas — fully distributed, no driver collect."""
+                       new_fps: DataFrame,
+                       del_fps: DataFrame | None = None) -> DataFrame:
+        """D3: merge new fingerprints into the persistent seen-filter shards
+        via a cogrouped applyInPandas — fully distributed, no driver collect.
+        Dispatches on cfg.seen_filter; only the cuckoo variant accepts
+        ``del_fps`` (expiry deletions under seen_ttl_rounds)."""
         cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            return self._update_shards_cuckoo(shards_df, new_fps, del_fps)
+        assert del_fps is None, "bloom shards cannot delete"
         if shards_df is None:
             shards_df = self.spark.createDataFrame(
                 bloom.empty_shards(cfg), schema=SHARDS_SCHEMA)
@@ -408,6 +421,40 @@ class CrawlEngine:
 
         return (shards_df.groupby("shard")
                 .cogroup(addr.groupby("bloom_shard"))
+                .applyInPandas(merge, schema=SHARDS_SCHEMA))
+
+    def _update_shards_cuckoo(self, shards_df: DataFrame | None,
+                              ins_fps: DataFrame,
+                              del_fps: DataFrame | None) -> DataFrame:
+        """Cuckoo variant of the D3 shard merge: inserts (becomes-live
+        fingerprints) and deletes (expired fingerprints) ride one ops frame
+        (op=+1/-1) into a cogrouped per-shard apply — deletes first, then
+        inserts (crawlspark/cuckoo.py discipline). Fully distributed; the
+        ops frame is bounded by the round delta + the expiring round."""
+        cfg = self.cfg
+        if shards_df is None:
+            shards_df = self.spark.createDataFrame(
+                cuckoo.empty_shards(cfg), schema=SHARDS_SCHEMA)
+        addr_cols = cuckoo.native_addr_cols(F.col("fingerprint"), cfg)
+        ops = ins_fps.select(*addr_cols, F.lit(1).alias("op"))
+        if del_fps is not None:
+            ops = ops.unionByName(
+                del_fps.select(*addr_cols, F.lit(-1).alias("op")))
+
+        def merge(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+            if len(old):
+                shard = int(old["shard"].iloc[0])
+                over, arr = cuckoo.decode(old["bits"].iloc[0], cfg)
+            else:
+                shard = int(new["ck_shard"].iloc[0])
+                over, arr = cuckoo.decode(b"", cfg)
+            if len(new):
+                over = cuckoo.apply_ops(over, arr, new, cfg)
+            return pd.DataFrame({"shard": [shard],
+                                 "bits": [cuckoo.encode(over, arr)]})
+
+        return (shards_df.groupby("shard")
+                .cogroup(ops.groupby("ck_shard"))
                 .applyInPandas(merge, schema=SHARDS_SCHEMA))
 
     def _read_frontier(self, manifest: dict) -> DataFrame:
@@ -497,14 +544,26 @@ class CrawlEngine:
 
     def _dedup_new(self, cand: DataFrame, seen: DataFrame,
                    manifest: dict) -> DataFrame:
-        """D3 bloom prefilter + J3 exact anti-join (bloom-positives only)."""
+        """D3 bloom/cuckoo prefilter + J3 exact anti-join (filter-positives
+        only). ``seen`` is the LIVE seen set (TTL-filtered upstream when
+        seen_ttl_rounds > 0); both filters guarantee no false negatives for
+        live fingerprints — bloom by never clearing bits, cuckoo by the
+        one-insert-per-becomes-live / one-delete-per-expiry discipline —
+        so the fresh path is trusted without confirmation."""
         cfg = self.cfg
         if not cfg.use_bloom:
             return cand.join(seen, "fingerprint", "left_anti")
-        check = bloom.make_check_udf(self.spark, self._shard_bits(manifest),
-                                     cfg)
-        shard_col, bit_cols = bloom.native_addr_cols(F.col("fingerprint"), cfg)
-        c = cand.withColumn("_maybe", check(shard_col, *bit_cols))
+        if cfg.seen_filter == "cuckoo":
+            check = cuckoo.make_check_udf(
+                self.spark, self._shard_bits(manifest), cfg)
+            addr = cuckoo.native_addr_cols(F.col("fingerprint"), cfg)
+            c = cand.withColumn("_maybe", check(*addr))
+        else:
+            check = bloom.make_check_udf(
+                self.spark, self._shard_bits(manifest), cfg)
+            shard_col, bit_cols = bloom.native_addr_cols(
+                F.col("fingerprint"), cfg)
+            c = cand.withColumn("_maybe", check(shard_col, *bit_cols))
         fresh = c.filter(~F.col("_maybe")).drop("_maybe")
         confirm = (c.filter(F.col("_maybe")).drop("_maybe")
                    .join(seen, "fingerprint", "left_anti"))
@@ -521,6 +580,12 @@ class CrawlEngine:
 
         frontier = self._read_frontier(manifest)
         seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
+        # D3/R3 seen-TTL (r3): dedup consults only LIVE rows — a
+        # fingerprint whose last enqueue/fetch-refresh is >= ttl rounds old
+        # is re-crawlable. ttl=0 (default) = forever-seen, one row per fp.
+        seen_ttl = cfg.seen_ttl_rounds
+        seen_live = (seen.filter(F.col("seen_round") > rnd - seen_ttl)
+                     if seen_ttl > 0 else seen).select("fingerprint")
         host_state = self.store.read(spark, manifest, "host_state",
                                      HOST_STATE_SCHEMA)
         cookie_state = self.store.read(spark, manifest, "cookie_state",
@@ -835,7 +900,16 @@ class CrawlEngine:
             first.select("fingerprint", "url_canon", "host", "priority",
                          "depth", "enqueue_seq", "method", "body",
                          "redirect_chain", "parent_host"),
-            seen, manifest).cache()
+            seen_live, manifest)
+        if seen_ttl > 0:
+            # TTL rule part 2: an expired fingerprint still PENDING (or
+            # fetched this very round — its refresh makes it live) is never
+            # duplicated. elig ∪ retries covers exactly the oracle's
+            # sequential pending/just-fetched states: remaining ∪ sel = elig.
+            pend_fps = elig.select("fingerprint").unionByName(
+                retries.select("fingerprint"))
+            new_rows = new_rows.join(pend_fps, "fingerprint", "left_anti")
+        new_rows = new_rows.cache()
         # Materialize the deep shared cache chain (elig -> batch ->
         # extracted -> items -> c -> new_rows) exactly once, in a
         # BACKGROUND driver thread: every sink below is pure plan
@@ -857,6 +931,13 @@ class CrawlEngine:
         frontier_next = remaining.unionByName(retries) \
             .unionByName(new_frontier_rows).cache()
         seen_delta = new_rows.select("fingerprint")
+        if seen_ttl > 0:
+            # fetch-refresh: every fetched fingerprint's seen entry renews
+            # this round (disjoint from new_rows — those passed the elig
+            # anti-join above)
+            seen_delta = seen_delta.unionByName(sel.select("fingerprint"))
+        seen_delta = seen_delta.withColumn(
+            "seen_round", F.lit(rnd).cast("int"))
 
         # ---- politeness carry update (shared arithmetic w/ oracle) ---------
         fetched_by_host = batch.filter(~F.col("_cached")).groupBy("host").agg(
@@ -1019,14 +1100,33 @@ class CrawlEngine:
             ("metrics", metrics.coalesce(1), False),
             ("lineage", lineage.coalesce(1), False),
         ]
-        if not cfg.driver_shard_cache:
+        is_cuckoo = cfg.seen_filter == "cuckoo"
+        # cuckoo + TTL always takes the distributed merge: expiry deletions
+        # join against the (cluster-resident) seen table, which must never
+        # ride through the driver
+        dist_shards = (not cfg.driver_shard_cache) or \
+            (is_cuckoo and seen_ttl > 0)
+        if dist_shards:
             # distributed shard merge (the 10^10-scale path): cogroup over
             # the committed shards table, written alongside the others
             shards_df = self.store.read(spark, manifest, "seen_shards",
                                         StructType.fromDDL(SHARDS_SCHEMA))
-            writes.append(
-                ("seen_shards", self._update_shards(shards_df, seen_delta),
-                 True))
+            if is_cuckoo and seen_ttl > 0:
+                # inserts = becomes-live this round (delta minus already-
+                # live); deletes = expired exactly this round (last row at
+                # rnd-ttl, none newer) — one insert per becomes-live, one
+                # delete per expiry keeps the no-false-negative discipline
+                ins_fps = (seen_delta.select("fingerprint")
+                           .join(seen_live, "fingerprint", "left_anti"))
+                del_fps = (seen.filter(
+                    F.col("seen_round") == rnd - seen_ttl)
+                           .select("fingerprint").distinct()
+                           .join(seen_live, "fingerprint", "left_anti"))
+                upd = self._update_shards(shards_df, ins_fps, del_fps)
+            else:
+                upd = self._update_shards(shards_df,
+                                          seen_delta.select("fingerprint"))
+            writes.append(("seen_shards", upd, True))
         _t1 = time.time()
         with ThreadPoolExecutor(max_workers=len(writes) + 1) as pool:
             futs = {name: pool.submit(self.store.write_round, df, name, ver)
@@ -1069,20 +1169,24 @@ class CrawlEngine:
                         + sums["retried"] + sums["enqueued"]),
         }
 
-        if cfg.driver_shard_cache:
+        if not dist_shards:
             # fast path: merge the just-written seen delta into the cached
             # shard bytes driver-side (pure python, no extra Spark job; the
             # delta parquet is on local disk already)
-            bits = {s: bytearray(b)
-                    for s, b in self._shard_bits(manifest).items()}
             delta_pd = pd.read_parquet(paths["seen"], columns=["fingerprint"])
-            for fp in delta_pd["fingerprint"]:
-                s, poss = bloom.bit_positions_py(fp, cfg)
-                buf = bits.setdefault(
-                    s, bytearray(cfg.bloom_bits_per_shard // 8))
-                for p in poss:
-                    buf[p >> 3] |= 1 << (p & 7)
-            new_bits = {s: bytes(b) for s, b in bits.items()}
+            if is_cuckoo:
+                new_bits = cuckoo.insert_fps(self._shard_bits(manifest),
+                                             delta_pd["fingerprint"], cfg)
+            else:
+                bits = {s: bytearray(b)
+                        for s, b in self._shard_bits(manifest).items()}
+                for fp in delta_pd["fingerprint"]:
+                    s, poss = bloom.bit_positions_py(fp, cfg)
+                    buf = bits.setdefault(
+                        s, bytearray(cfg.bloom_bits_per_shard // 8))
+                    for p in poss:
+                        buf[p >> 3] |= 1 << (p & 7)
+                new_bits = {s: bytes(b) for s, b in bits.items()}
             shards_pdf = pd.DataFrame(
                 {"shard": sorted(new_bits),
                  "bits": [new_bits[s] for s in sorted(new_bits)]})
@@ -1091,6 +1195,10 @@ class CrawlEngine:
                 "seen_shards", ver)]
             # cache key = the round number this commit's manifest carries
             self._shard_cache = (rnd, new_bits)
+        elif cfg.driver_shard_cache:
+            # shards were merged cluster-side this round — the driver copy
+            # is stale; the next round re-collects (S * 32 KiB, negligible)
+            self._shard_cache = None
         _t["shards_commit"] = time.time() - _t1 - _t["writes"]
         self.store.commit(rnd, state, tables)
         if use_cache and cache_stage is not None:
@@ -1143,17 +1251,27 @@ class CrawlEngine:
 
         frontier = self._read_frontier(manifest)
         seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
+        # the injection lands at the START of round rnd+1 (the next to run);
+        # TTL liveness is evaluated there — matching the oracle reseed hook
+        seen_ttl = cfg.seen_ttl_rounds
+        inj_rnd = rnd + 1
+        seen_live = (seen.filter(F.col("seen_round") > inj_rnd - seen_ttl)
+                     if seen_ttl > 0 else seen).select("fingerprint")
         eligible = cand.filter(F.col("dont_filter")).unionByName(
             cand.filter(~F.col("dont_filter"))
-            .join(seen, "fingerprint", "left_anti"))
+            .join(seen_live, "fingerprint", "left_anti"))
         new_rows = (eligible
                     .join(frontier.select("fingerprint"),
                           "fingerprint", "left_anti")
                     .select(*[f.name for f in FRONTIER_SCHEMA])).cache()
         n_new = new_rows.count()
         frontier_next = frontier.unionByName(new_rows)
-        seen_delta = (cand.select("fingerprint")
-                      .join(seen, "fingerprint", "left_anti")).cache()
+        # seen gains the ENQUEUED fingerprints that weren't live (identical
+        # to cand minus seen in the default mode, where pending ⊆ seen)
+        seen_delta = (new_rows.select("fingerprint")
+                      .join(seen_live, "fingerprint", "left_anti")
+                      .withColumn("seen_round",
+                                  F.lit(inj_rnd).cast("int"))).cache()
 
         tables = {k: list(v) for k, v in manifest["tables"].items()}
         # injection writes live in the r9xxxxx namespace, one fresh slot
@@ -1168,19 +1286,24 @@ class CrawlEngine:
         tables["frontier_delta"] = []   # full rewrite == compaction
         tables["seen"] = tables.get("seen", []) + [spath]
 
-        # bloom shards MUST grow with seen (a missing bit would make the
-        # bloom prefilter treat a seen fingerprint as fresh)
+        # seen-filter shards MUST grow with seen (a missing entry would make
+        # the prefilter treat a seen fingerprint as fresh); for cuckoo this
+        # is also the becomes-live insert of the TTL discipline
         delta_pd = pd.read_parquet(spath, columns=["fingerprint"])
         if cfg.use_bloom:
-            bits = {s: bytearray(b)
-                    for s, b in self._shard_bits(manifest).items()}
-            for fp in delta_pd["fingerprint"]:
-                s, poss = bloom.bit_positions_py(fp, cfg)
-                buf = bits.setdefault(
-                    s, bytearray(cfg.bloom_bits_per_shard // 8))
-                for p in poss:
-                    buf[p >> 3] |= 1 << (p & 7)
-            new_bits = {s: bytes(b) for s, b in bits.items()}
+            if cfg.seen_filter == "cuckoo":
+                new_bits = cuckoo.insert_fps(self._shard_bits(manifest),
+                                             delta_pd["fingerprint"], cfg)
+            else:
+                bits = {s: bytearray(b)
+                        for s, b in self._shard_bits(manifest).items()}
+                for fp in delta_pd["fingerprint"]:
+                    s, poss = bloom.bit_positions_py(fp, cfg)
+                    buf = bits.setdefault(
+                        s, bytearray(cfg.bloom_bits_per_shard // 8))
+                    for p in poss:
+                        buf[p >> 3] |= 1 << (p & 7)
+                new_bits = {s: bytes(b) for s, b in bits.items()}
             shards_pdf = pd.DataFrame(
                 {"shard": sorted(new_bits),
                  "bits": [new_bits[s] for s in sorted(new_bits)]})

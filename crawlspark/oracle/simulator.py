@@ -78,6 +78,9 @@ class OracleResult:
     metrics: list[dict] = field(default_factory=list)      # per (round, host)
     canonical: dict[str, str] = field(default_factory=dict)  # fp -> canon
     rounds: int = 0
+    # fp -> round of last enqueue or fetch-refresh (drives seen_ttl_rounds;
+    # res.seen stays the all-time set)
+    seen_rounds: dict[str, int] = field(default_factory=dict)
 
 
 def _suffix_match(host: str, domains: tuple[str, ...]) -> bool:
@@ -119,6 +122,18 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
     res = OracleResult()
     pending: dict[str, _Req] = {}
+    # D3/R3 seen-TTL (r3): a fingerprint is LIVE-seen at round r while
+    # r - seen_rounds[fp] < ttl; fetches refresh the entry. ttl=0 = the
+    # Scrapy RFPDupeFilter forever-seen default. Dedup rule under TTL:
+    # drop iff live OR still pending (an expired-but-pending fingerprint
+    # is never duplicated).
+    seen_ttl = cfg.seen_ttl_rounds
+    sr = res.seen_rounds
+
+    def live(fp: str, at_round: int) -> bool:
+        if seen_ttl <= 0:
+            return fp in res.seen
+        return fp in sr and at_round - sr[fp] < seen_ttl
     items_emitted = 0   # F6 CLOSESPIDER_ITEMCOUNT analogue (r3)
     carry: dict[str, float] = {}
     at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
@@ -158,6 +173,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         if fp in res.seen:
             continue
         res.seen.add(fp)
+        sr[fp] = 0
         pending[fp] = _Req(fp, canon, urlsplit(canon).hostname or "", 0, 0, seq)
     # F7 r3: robots.txt `Sitemap:` declarations seed after the explicit
     # seed list, (host asc, position) order [S:scrapy/spiders/sitemap.py]
@@ -173,6 +189,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 if fp in res.seen:
                     continue
                 res.seen.add(fp)
+                sr[fp] = 0
                 pending[fp] = _Req(fp, canon,
                                    urlsplit(canon).hostname or "", 0, 0, seq)
 
@@ -190,9 +207,11 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 fp = fingerprint_hex(canon)
                 seq = next_seq
                 next_seq += 1
-                known = fp in res.seen
+                known = live(fp, rnd)
                 res.seen.add(fp)
                 if (dflt or not known) and fp not in pending:
+                    if not known:
+                        sr[fp] = rnd
                     pending[fp] = _Req(
                         fp, canon, urlsplit(canon).hostname or "", 0, 0, seq)
         if not pending:
@@ -273,6 +292,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
         for req in fetch_list:
             del pending[req.fingerprint]
+            if seen_ttl > 0:
+                sr[req.fingerprint] = rnd   # fetch refreshes the seen entry
             hit = cache_fresh(req.fingerprint)
             page = pages.get(req.url_canon)
             if hit:
@@ -397,10 +418,11 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     mc(req.host, "filtered")
                     continue
                 fp = fingerprint_hex(canon, method, body)
-                if fp in res.seen:                      # R3
+                if live(fp, rnd) or fp in pending:      # R3 (+ TTL rule)
                     mc(req.host, "deduped")
                     continue
                 res.seen.add(fp)
+                sr[fp] = rnd
                 prio = req.priority if is_redirect \
                     else -depth * cfg.depth_priority
                 pending[fp] = _Req(fp, canon, host, prio, depth, seq,
