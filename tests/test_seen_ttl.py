@@ -75,7 +75,8 @@ def test_cuckoo_prefilter_ttl_off_oracle_exact(spark, tmp_path_factory,
     assert (cnt <= 1 + cfg.retry_times).all()
 
 
-@pytest.mark.parametrize("variant", ["bloom", "cuckoo", "nofilter"])
+@pytest.mark.parametrize("variant",
+                         ["bloom", "cuckoo", "nofilter", "cuckoo_deltas"])
 def test_seen_ttl_recrawl_oracle_exact(spark, tmp_path_factory, graph,
                                        variant):
     base = graph[1]
@@ -83,6 +84,11 @@ def test_seen_ttl_recrawl_oracle_exact(spark, tmp_path_factory, graph,
         "bloom": replace(base, seen_ttl_rounds=TTL),
         "cuckoo": replace(base, seen_ttl_rounds=TTL, seen_filter="cuckoo"),
         "nofilter": replace(base, seen_ttl_rounds=TTL, use_bloom=False),
+        # the two opt-in storage modes composed: merge-on-read frontier
+        # deltas x TTL re-crawl x deletable prefilter
+        "cuckoo_deltas": replace(base, seen_ttl_rounds=TTL,
+                                 seen_filter="cuckoo",
+                                 frontier_deltas=True),
     }[variant]
     eng, m, oracle = _run_pair(spark, tmp_path_factory, graph, cfg, MAX_R)
     got = _assert_exact(eng, m, oracle)
