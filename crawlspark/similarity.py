@@ -21,10 +21,12 @@ pytest recall contract against the exact baselines (tests/test_similarity.py):
   Candidate volume is ~n^2/nlist with nlist sized ~sqrt(n), vs the O(n^2)
   cartesian of the exact baseline ``emb_near_dup`` (kept as test oracle).
 * ``dedup_clusters`` — cluster resolution after candidate generation:
-  connected components over the verified near-dup pairs via iterative
-  min-label propagation in DataFrame ops (the driver loop carries only a
-  convergence counter, never row data), emitting (vec_id, cluster_keeper).
-  The DuckDB oracle is a recursive CTE over the same candidate pairs.
+  connected components over the verified near-dup pairs via the
+  ALTERNATING LARGE-STAR / SMALL-STAR algorithm (Kiveris et al. 2014) in
+  DataFrame ops — O(log n) rounds independent of component diameter; the
+  driver loop carries only a scalar edge-set signature, never row data —
+  emitting (vec_id, cluster_keeper). The DuckDB oracle is a recursive CTE
+  over the same candidate pairs.
 
 Determinism contract: the random hyperplanes are seeded by md5 over
 ``"{tag}:{plane}:{dim}"`` with sign = parity of the first hex digit, a
@@ -56,6 +58,10 @@ ANN_SHORTLIST = 100         # Hamming shortlist size C before exact re-rank
 EMB_DIM = 64
 NEAR_DUP_COS = 0.45         # exact-verify threshold (fixture max ~0.51)
 IVF_NLIST = 16              # ANN cell count (fixed for the top-k path)
+# Broadcast the embedding re-attach side only below this row count
+# (~64 MB at EMB_DIM=64 float64 + row overhead). Above it the build side
+# would OOM executors at scale — fall back to a shuffled equi-join.
+BROADCAST_EMB_MAX_ROWS = 100_000
 IVF_NPROBE = 6              # query-side multiprobe cells
 IVF_ANN_ASSIGN = 2          # ANN data-side multi-assignment cells
 IVF_ASSIGN = 3              # near-dup multi-assignment cells per vector
@@ -200,6 +206,17 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 # IVF assignment (shared by multiprobe ANN and bucketed near-dup)
 # ---------------------------------------------------------------------
 
+# Cached centroid levels of the most recent kmeans_centroids call.
+# Each call caches KM_ITERS+1 tiny (nlist-row) DataFrames that must stay
+# cached until the CONSUMING query's action runs (lazy — we cannot know
+# when that is), so the previous call's levels are unpersisted at the
+# START of the next call (ADVICE r03: repeated bench trials/queries were
+# accumulating cache entries without bound). Unpersisting an
+# already-materialized level is free; unpersisting an unmaterialized one
+# merely recomputes nlist rows.
+_km_cached: list[DataFrame] = []
+
+
 def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
     """Deterministic seeded k-means (VERDICT r02 #2 — replaces the
     fixture-friendly 'first nlist vec_ids' rule): init = the ``nlist``
@@ -219,6 +236,8 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
     (FAISS convention); the mean is two bounded shuffles over n x dim
     value rows. At 10^10 rows the same code trains on a seeded hash
     sample (md5 rule composes) and broadcasts the centroids."""
+    while _km_cached:
+        _km_cached.pop().unpersist(blocking=False)
     init = (en.select("vec_id", "emb")
             .withColumn("_h", F.md5(F.concat(F.lit(KM_TAG + ":"),
                                              F.col("vec_id").cast("string"))))
@@ -234,6 +253,7 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
     cents = (init.withColumn("cent_id", F.row_number().over(w0) - 1)
              .select("cent_id", F.col("emb").alias("cent"))
              .cache())
+    _km_cached.append(cents)
     w_a = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(),
                                                F.col("cent_id").asc())
     for _ in range(KM_ITERS):
@@ -260,6 +280,7 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
                  .select("cent_id",
                          F.coalesce("newc", "cent").alias("cent"))
                  .cache())
+        _km_cached.append(cents)
     return cents
 
 
@@ -409,11 +430,18 @@ def q_emb_near_dup_bucketed(spark, sf):
     baseline ``emb_near_dup`` (which stays as the recall oracle in tests).
 
     Shuffle shape: the candidate self-join carries ONLY (vec_id, cent_id)
-    int pairs — embeddings re-attach via two broadcast joins after pair
-    dedup, so payload bytes never replicate through the candidate
-    shuffle (at sf0.1 this is ~15x faster than carrying the arrays)."""
+    int pairs — embeddings re-attach via two equi-joins after pair dedup,
+    so payload bytes never replicate through the candidate shuffle (at
+    sf0.1 this is ~15x faster than carrying the arrays). The re-attach
+    join is broadcast ONLY under a row-count guard (VERDICT r03 #1): an
+    unconditional ``F.broadcast`` hint overrides Spark's size check, and
+    at 10^8+ vectors (~100 GB of float arrays) the build side OOMs driver
+    and executors — a hard failure. Below the guard (sandbox scale) the
+    hint keeps the sandbox plan a BroadcastHashJoin; above it, a plain
+    shuffled equi-join on the int key, which is the correct 100 TB plan."""
     e = _emb(spark, sf)
-    nlist = _near_dup_nlist(e.count())
+    n = e.count()
+    nlist = _near_dup_nlist(n)
     a2 = _ivf_assign(e, IVF_ASSIGN, nlist).select("vec_id", "cent_id")
     pairs = (a2.alias("a").join(a2.alias("b"), "cent_id")
              .filter(F.col("a.vec_id") < F.col("b.vec_id"))
@@ -425,8 +453,10 @@ def q_emb_near_dup_bucketed(spark, sf):
                    F.col("emb").alias("emb_a"), F.col("_nv").alias("_na"))
     eb = en.select(F.col("vec_id").alias("vec_b"),
                    F.col("emb").alias("emb_b"), F.col("_nv").alias("_nb"))
-    return (pairs.join(F.broadcast(ea), "vec_a")
-            .join(F.broadcast(eb), "vec_b")
+    if n <= BROADCAST_EMB_MAX_ROWS:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    return (pairs.join(ea, "vec_a")
+            .join(eb, "vec_b")
             .withColumn("cosine",
                         _dot("emb_a", "emb_b") / (F.col("_na") * F.col("_nb")))
             .filter(F.col("cosine") >= NEAR_DUP_COS)
@@ -567,13 +597,13 @@ def label_propagation(pairs: DataFrame, a: str, b: str,
 
 def q_dedup_clusters(spark, sf):
     """Dedup cluster resolution: connected components over the verified
-    bucketed near-dup pairs via iterative min-label propagation — each
-    round every vertex takes min(own label, neighbors' labels); converges
-    in O(component diameter) rounds. Pure DataFrame ops; the driver loop
-    reads only a changed-count scalar. localCheckpoint truncates lineage
-    each round so plans stay O(1). (At 10^10 edges the same loop runs with
-    the large-star/small-star optimization; diameter here is tiny.)
-    Emits (vec_id, cluster_keeper=min vec_id of the component)."""
+    bucketed near-dup pairs via the alternating large-star/small-star
+    kernel (``label_propagation`` above — Kiveris et al. 2014), which
+    converges in O(log n) rounds INDEPENDENT of component diameter. Pure
+    DataFrame ops; the driver loop reads only a scalar (count, xor)
+    edge-set signature. localCheckpoint truncates lineage each round so
+    plans stay O(1). Emits (vec_id, cluster_keeper=min vec_id of the
+    component), identical to union-find output."""
     pairs = q_emb_near_dup_bucketed(spark, sf).select("vec_a", "vec_b")
     return label_propagation(pairs, "vec_a", "vec_b",
                              "vec_id", "cluster_keeper")
