@@ -121,11 +121,16 @@ def insert_one(arr: np.ndarray, tag: int, i1: int, i2: int,
         if free.size:
             arr[i, free[0]] = tag
             return True
-    # deterministic eviction walk from i2; snapshot for all-or-nothing
+    # deterministic eviction walk from i2; snapshot for all-or-nothing.
+    # Victim slot = hash of (kick counter, current tag, bucket index) —
+    # still replay-deterministic, but the walk varies across paths instead
+    # of orbiting short bucket cycles (ADVICE r03: the old ``k & 3`` rule
+    # could set the sticky overflow flag while free slots remained,
+    # degrading the prefilter earlier than a standard cuckoo filter)
     snap = arr.copy()
     cur_i, cur_tag = i2, tag
     for k in range(max_kicks):
-        j = k & 3
+        j = ((cur_tag * H_MULT) ^ (cur_i * 0x9E3779B1) ^ k) & 3
         victim = int(arr[cur_i, j])
         arr[cur_i, j] = cur_tag
         cur_tag = victim
