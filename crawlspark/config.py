@@ -150,6 +150,60 @@ class CrawlConfig:
                                             # re-caches at the new epoch
                                             # (reads resolve latest-epoch-
                                             # wins per fingerprint)
+    httpcache_revalidate: bool = False      # X12 conditional revalidation
+                                            # (r4) [S:scrapy/extensions/
+                                            # httpcache.py::RFC2616Policy
+                                            # ETag/If-None-Match validators]:
+                                            # a 200 response stores the
+                                            # page's ``validator`` (ETag
+                                            # analogue) with its cache
+                                            # entry. When an entry is TTL-
+                                            # EXPIRED, the request goes to
+                                            # the network (budget-gated like
+                                            # any fetch — a conditional GET
+                                            # still occupies a download
+                                            # slot); if the live response
+                                            # would be 200 and its validator
+                                            # matches the stored one, the
+                                            # server "304"s: the CACHED
+                                            # body/redirect are served and
+                                            # the entry's epoch refreshes.
+                                            # A changed validator (or any
+                                            # non-200) is a full re-fetch +
+                                            # re-cache. Fresh entries never
+                                            # revalidate; entries without a
+                                            # validator (non-200s) never
+                                            # revalidate.
+    httpcache_compact_every: int = 0        # X12 cache compaction cadence
+                                            # (r4, VERDICT r03 #2): 0 = off.
+                                            # N>0: every N cache epochs the
+                                            # engine materializes the
+                                            # latest-epoch-wins projection
+                                            # (TTL-pruned where entries are
+                                            # provably dead) into ONE dir
+                                            # and drops the superseded dirs,
+                                            # so _read_cache lists O(N) dirs
+                                            # instead of one per round.
+                                            # Purely physical — entries keep
+                                            # their original epoch, so
+                                            # TTL/revalidation semantics are
+                                            # byte-identical; crash-safe
+                                            # because duplicate entries are
+                                            # idempotent under latest-wins.
+    error_budget: int = 0                   # F6 CLOSESPIDER_ERRORCOUNT
+                                            # analogue (r4, 0 = off)
+                                            # [S:scrapy/extensions/
+                                            # closespider.py]: stop after
+                                            # the first round whose
+                                            # cumulative error-response
+                                            # count (the per-round metrics
+                                            # "errors" column: non-ok,
+                                            # non-redirect responses,
+                                            # retryables included) reaches
+                                            # the budget — graceful close,
+                                            # the crossing round completes,
+                                            # same discipline as page/item
+                                            # budgets.
     honor_retry_after: bool = True          # X10->F4 coupling (r3)
                                             # [S:scrapy 2.x RetryMiddleware
                                             # reads Retry-After]: a 429/503

@@ -131,9 +131,14 @@ CACHE_SCHEMA = StructType([
     StructField("status", IntegerType()),
     StructField("redirect_to", StringType()),
     StructField("body_html", StringType()),
-    # X12 TTL (r3): the cache epoch this entry was written at (= number
-    # of cache dirs published before it); freshness is measured in epochs
+    # X12 TTL (r3): the cache epoch this entry was written at; freshness
+    # is measured in epochs (the counter is committed in snapshot state,
+    # r4 — see run_round)
     StructField("epoch", IntegerType()),
+    # X12 r4 conditional revalidation: ETag analogue stored with 200
+    # entries (null otherwise); an EXPIRED entry whose validator still
+    # matches the live page revalidates ("304") instead of re-downloading
+    StructField("validator", StringType()),
 ])
 
 HOST_STATE_SCHEMA = StructType([
@@ -180,10 +185,19 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
             spans_col, links_col, canon_col = [], [], []
             form_act_col, form_body_col, sm_col, canonical_col = \
                 [], [], [], []
-            for url, body in zip(pdf["url_canon"], pdf["body_html"]):
+            xr_col = pdf["x_robots"] if "x_robots" in pdf.columns \
+                else [None] * len(pdf)
+            for url, body, xr in zip(pdf["url_canon"], pdf["body_html"],
+                                     xr_col):
                 body_s = body if isinstance(body, str) else ""
+                # X14 r4: X-Robots-Tag header nofollow suppresses ALL
+                # discovery from this response (links, forms, sitemap
+                # locs), composing with the meta tag (either suppresses);
+                # spans/canonical are unaffected — nofollow stops
+                # FOLLOWING, not indexing
+                hdr_nf = isinstance(xr, str) and "nofollow" in xr.lower()
                 if sitemaps_enabled and is_sitemap(body_s):
-                    locs = parse_sitemap(body_s)
+                    locs = [] if hdr_nf else parse_sitemap(body_s)
                     spans_col.append([])
                     links_col.append(locs)
                     canon_col.append(
@@ -198,6 +212,8 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                 # raw rel=canonical target, normalized here in the same
                 # Arrow batch (fused D1)
                 spans, hrefs, forms, meta = parse_page(url, body_s)
+                if hdr_nf:
+                    hrefs, forms = [], []
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
                 canon_col.append(
@@ -242,7 +258,8 @@ class CrawlEngine:
             _c("redirect_to", "string"), _c("succeeds_after", "int"),
             _c("latency_ms", "double"), _c("body_html", "string"),
             _c("set_cookie", "string"), _c("requires_cookie", "string"),
-            _c("retry_after_s", "double"))
+            _c("retry_after_s", "double"), _c("validator", "string"),
+            _c("x_robots", "string"))
         # X7 fetch-join strategy: the fixture "network" table is broadcast
         # when it fits (kills a per-round shuffle of the dequeued batch); on
         # a real crawl X7 is an HTTP mapInPandas and this join disappears.
@@ -299,6 +316,9 @@ class CrawlEngine:
         # the 10^10 design point keep use_driver_shard_cache off and let the
         # distributed path own the shards)
         self._shard_cache: tuple[int, dict[int, bytes]] | None = None
+        # X12 publishing epoch of the round in flight; pinned from the
+        # committed snapshot state at the top of each run_round (r4)
+        self._cache_epoch = 0
 
     # ------------------------------------------------------------------ #
     # bootstrap: seeds -> frontier/seen/shards (R1)
@@ -329,10 +349,13 @@ class CrawlEngine:
         # deterministic R1 extension mirrored by the oracle.
         n_extra = 0
         if cfg.sitemaps_enabled and "sitemap_urls" in self.robots.columns:
+            # null cell = no declarations (mirror the oracle's None guard;
+            # ADVICE r03 — posexplode below already skips null arrays)
             n_extra = int(sum(
                 len(x) for x in pd.read_parquet(
                     os.path.join(self.fixture_dir, "robots.parquet"),
-                    columns=["sitemap_urls"])["sitemap_urls"]))
+                    columns=["sitemap_urls"])["sitemap_urls"]
+                if x is not None))
         if n_extra:
             w_r = Window.orderBy(F.col("_rhost").asc(), F.col("_pos").asc())
             rsm = (self.robots
@@ -377,7 +400,7 @@ class CrawlEngine:
         n_distinct = len(pd.read_parquet(paths["seen"],
                                          columns=["fingerprint"]))
         state = {"next_seq": n_seeds + n_extra, "next_rank": 1,
-                 "total_fetched": 0, "total_items": 0,
+                 "total_fetched": 0, "total_items": 0, "total_errors": 0,
                  "config": cfg.to_dict(), "pending": n_distinct}
         frontier.unpersist()
         for t in ("documents", "crawl_order", "metrics", "lineage",
@@ -484,16 +507,45 @@ class CrawlEngine:
                 .filter((F.col("_rn") == 1) & (F.col("ev_add") == "a"))
                 .select(*[f.name for f in FRONTIER_SCHEMA]))
 
+    def _cache_epoch_from_dirs(self) -> int:
+        """Fallback publishing epoch when the snapshot state predates the
+        committed counter (r4, ADVICE r03): one more than the largest
+        epoch embedded in a published dir name — robust to dropped dirs
+        anywhere but the tail (a kill between commit and rename within a
+        run is covered exactly by the committed counter)."""
+        best = -1
+        for d in os.listdir(self.cache_dir):
+            mm = re.match(r"^r(\d+)", d)
+            if mm:
+                best = max(best, int(mm.group(1)))
+        return best + 1
+
     def _read_cache(self) -> DataFrame:
-        """Committed cache entries, latest-epoch-wins per fingerprint,
-        filtered to FRESH entries when a TTL is configured (X12 r3:
-        cur_epoch - epoch <= httpcache_expiration_rounds; 0 = forever).
-        Also pins the round's publishing epoch (= dir count) so the
-        round's own writes age from the point they were published."""
-        dirs = [os.path.join(self.cache_dir, d)
-                for d in sorted(os.listdir(self.cache_dir))
-                if d.startswith("r")]
-        self._cache_epoch = len(dirs)
+        """Committed cache entries, latest-epoch-wins per fingerprint.
+        Emits (fingerprint, c_status, c_redirect, c_body, c_validator,
+        c_fresh): FRESH entries (cur_epoch - epoch <= TTL; TTL 0 =
+        forever) serve as budget-bypassing hits; with revalidation on,
+        EXPIRED entries carrying a validator are also returned
+        (c_fresh=false) as conditional-GET candidates. Read-path scale
+        (r4, VERDICT r03 #2): when TTL is set and revalidation is off,
+        whole dirs older than cur_epoch - ttl are pruned BY NAME before
+        the scan (a plain published dir holds only its own epoch's
+        entries; compacted ``r...c-`` dirs hold mixed epochs and are
+        always read), and `_compact_cache` keeps the dir count O(compact
+        cadence). Requires self._cache_epoch already pinned from the
+        committed snapshot state (run_round does this)."""
+        cfg = self.cfg
+        ttl = cfg.httpcache_expiration_rounds
+        cur = self._cache_epoch
+        dirs = []
+        for d in sorted(os.listdir(self.cache_dir)):
+            mm = re.match(r"^r(\d+)(c?)-", d)
+            if not mm:
+                continue
+            if ttl > 0 and not cfg.httpcache_revalidate \
+                    and not mm.group(2) and cur - int(mm.group(1)) > ttl:
+                continue   # dir holds only provably-stale entries
+            dirs.append(os.path.join(self.cache_dir, d))
         if not dirs:
             df = self.spark.createDataFrame([], CACHE_SCHEMA)
         else:
@@ -501,31 +553,81 @@ class CrawlEngine:
         w = Window.partitionBy("fingerprint").orderBy(F.col("epoch").desc())
         df = (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
-        ttl = self.cfg.httpcache_expiration_rounds
+        fresh = F.lit(True) if ttl <= 0 else \
+            (F.lit(cur) - F.col("epoch") <= ttl)
+        df = df.withColumn("c_fresh", fresh)
         if ttl > 0:
-            df = df.filter(F.lit(self._cache_epoch) - F.col("epoch") <= ttl)
+            keep = F.col("c_fresh")
+            if cfg.httpcache_revalidate:
+                keep = keep | F.col("validator").isNotNull()
+            df = df.filter(keep)
         return df.select("fingerprint",
                          F.col("status").alias("c_status"),
                          F.col("redirect_to").alias("c_redirect"),
-                         F.col("body_html").alias("c_body"))
+                         F.col("body_html").alias("c_body"),
+                         F.col("validator").alias("c_validator"),
+                         "c_fresh")
 
-    def _write_cache(self, df: DataFrame, ver: int) -> tuple[str, str]:
+    def _write_cache(self, df: DataFrame) -> tuple[str, str]:
         """Stage the round's cacheable responses into a hidden ``.tmp-``
-        dir; the caller renames it to its visible ``r...`` name only AFTER
-        the snapshot commit succeeds. A kill anywhere before the rename
-        leaves only a hidden dir that ``_read_cache`` never lists, so a
-        re-executed (uncommitted) round can never see its own responses as
-        cache hits — the 're-run of a committed round is a no-op'
-        invariant holds for the cache exactly as for the tables (ADVICE
-        r02: the pre-r3 publish-before-commit ordering broke it). The
-        only loss mode is a kill between commit and rename: that round's
-        entries are dropped from the cache — a cache miss, never a
-        semantics change."""
+        dir; the caller renames it to its visible ``r{epoch}-`` name only
+        AFTER the snapshot commit succeeds. A kill anywhere before the
+        rename leaves only a hidden dir that ``_read_cache`` never lists,
+        so a re-executed (uncommitted) round can never see its own
+        responses as cache hits — the 're-run of a committed round is a
+        no-op' invariant holds for the cache exactly as for the tables
+        (ADVICE r02: the pre-r3 publish-before-commit ordering broke it).
+        The only loss mode is a kill between commit and rename: that
+        round's entries are dropped from the cache — a cache miss, never
+        a semantics change (the epoch counter itself is committed in
+        snapshot state, so the lost dir's epoch is never reused —
+        ADVICE r03)."""
         import uuid
         tmp = os.path.join(self.cache_dir, f".tmp-{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        return tmp, os.path.join(self.cache_dir,
-                                 f"r{ver:06d}-{uuid.uuid4().hex[:8]}")
+        return tmp, os.path.join(
+            self.cache_dir,
+            f"r{self._cache_epoch:06d}-{uuid.uuid4().hex[:8]}")
+
+    def _compact_cache(self) -> None:
+        """X12 cache compaction (r4, VERDICT r03 #2) — the
+        ``frontier_compact_every`` pattern applied to the response cache:
+        materialize the latest-epoch-wins projection of every published
+        dir into ONE ``r{epoch}c-`` dir and drop the superseded dirs, so
+        the per-round cache read lists O(cadence) dirs instead of one per
+        round. Purely physical: entries keep their original epoch, so
+        TTL/revalidation answers are identical. Entries that can never be
+        served again (expired beyond TTL with no usable validator —
+        epochs only grow, so staleness is monotone) are pruned. Crash
+        safety: a kill before the rename leaves a hidden tmp dir
+        (reclaimed at engine init); a kill mid-delete leaves duplicate
+        entries that the latest-epoch-wins window resolves identically —
+        every intermediate state reads the same."""
+        cfg = self.cfg
+        old = sorted(d for d in os.listdir(self.cache_dir)
+                     if re.match(r"^r\d+c?-", d))
+        if len(old) <= 1:
+            return
+        paths = [os.path.join(self.cache_dir, d) for d in old]
+        df = self.spark.read.schema(CACHE_SCHEMA).parquet(*paths)
+        w = Window.partitionBy("fingerprint").orderBy(F.col("epoch").desc())
+        latest = (df.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        ttl = cfg.httpcache_expiration_rounds
+        if ttl > 0:
+            dead = F.lit(self._cache_epoch + 1) - F.col("epoch") > ttl
+            if cfg.httpcache_revalidate:
+                dead = dead & F.col("validator").isNull()
+            latest = latest.filter(~dead)
+        import shutil
+        import uuid
+        tmp = os.path.join(self.cache_dir, f".tmp-{uuid.uuid4().hex}")
+        latest.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(
+            self.cache_dir,
+            f"r{self._cache_epoch:06d}c-{uuid.uuid4().hex[:8]}"))
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
 
     def _shard_bits(self, manifest: dict) -> dict[int, bytes]:
         """Shard bytes for the committed round — from the driver cache when
@@ -577,6 +679,15 @@ class CrawlEngine:
         rnd = manifest["round"] + 1
         st = manifest["state"]
         next_seq, next_rank = st["next_seq"], st["next_rank"]
+        if cfg.http_cache and self.cache_dir is not None:
+            # X12 r4 (ADVICE r03): the publishing epoch rides in committed
+            # snapshot state — a kill between commit and the cache-dir
+            # rename can drop a dir but never reuse its epoch number
+            # (dir-count derivation silently extended every TTL by one
+            # round in that crash window). Dir-name fallback covers runs
+            # started against a pre-existing cache.
+            self._cache_epoch = st.get("cache_epoch",
+                                       self._cache_epoch_from_dirs())
 
         frontier = self._read_frontier(manifest)
         seen = self.store.read(spark, manifest, "seen", SEEN_SCHEMA)
@@ -615,8 +726,11 @@ class CrawlEngine:
         use_cache = cfg.http_cache and self.cache_dir is not None
         if use_cache:
             cache_df = self._read_cache()
-            flags = cache_df.select("fingerprint") \
-                .withColumn("_hit", F.lit(True))
+            # only FRESH entries are budget-bypassing hits; expired-but-
+            # revalidatable entries (c_fresh=false, revalidate mode) go to
+            # the network budget-gated like any fetch
+            flags = cache_df.filter(F.col("c_fresh")) \
+                .select("fingerprint").withColumn("_hit", F.lit(True))
             elig_c = (elig.join(flags, "fingerprint", "left")
                       .withColumn("_cached",
                                   F.coalesce("_hit", F.lit(False)))
@@ -709,7 +823,8 @@ class CrawlEngine:
         else:
             sel = (sel.withColumn("c_status", F.lit(None).cast("int"))
                    .withColumn("c_redirect", F.lit(None).cast("string"))
-                   .withColumn("c_body", F.lit(None).cast("string")))
+                   .withColumn("c_body", F.lit(None).cast("string"))
+                   .withColumn("c_validator", F.lit(None).cast("string")))
 
         # ---- X7 fetch = join vs the pages fixture (the "network") ---------
         # X13: cookie availability at ROUND START (grants apply at round
@@ -722,22 +837,41 @@ class CrawlEngine:
                  .join(F.broadcast(has_ck), ["host", "requires_cookie"],
                        "left")
                  .withColumn(
-                     "status",
-                     F.when(F.col("_cached"), F.col("c_status"))
-                     .when((F.length(F.coalesce("requires_cookie",
-                                                F.lit(""))) > 0)
-                           & F.col("_has_ck").isNull()
-                           if cfg.cookies_enabled else F.lit(False),
-                           F.lit(403))
+                     "_net_status",
+                     F.when((F.length(F.coalesce("requires_cookie",
+                                                 F.lit(""))) > 0)
+                            & F.col("_has_ck").isNull()
+                            if cfg.cookies_enabled else F.lit(False),
+                            F.lit(403))
                      .when(F.col("succeeds_after").isNotNull()
                            & (F.col("retry_count") >= F.col("succeeds_after")),
                            F.lit(200))
                      .otherwise(F.coalesce(F.col("status"), F.lit(404))))
+                 # X12 r4 conditional revalidation: an expired entry with a
+                 # validator went over the network (budget-gated above);
+                 # an unchanged validator on a live 200 is the "304" —
+                 # serve the cached triple and refresh the epoch via the
+                 # normal to_cache write (it is NOT a _cached hit: it
+                 # consumes budget/carry and feeds AutoThrottle)
+                 .withColumn(
+                     "_reval",
+                     F.lit(cfg.httpcache_revalidate) & ~F.col("_cached")
+                     & F.col("c_validator").isNotNull()
+                     & (F.col("_net_status") == 200)
+                     & F.col("validator").isNotNull()
+                     & (F.col("validator") == F.col("c_validator")))
+                 .withColumn(
+                     "status",
+                     F.when(F.col("_cached") | F.col("_reval"),
+                            F.col("c_status"))
+                     .otherwise(F.col("_net_status")))
                  .withColumn("redirect_to",
-                             F.when(F.col("_cached"), F.col("c_redirect"))
+                             F.when(F.col("_cached") | F.col("_reval"),
+                                    F.col("c_redirect"))
                              .otherwise(F.col("redirect_to")))
                  .withColumn("body_html",
-                             F.when(F.col("_cached"), F.col("c_body"))
+                             F.when(F.col("_cached") | F.col("_reval"),
+                                    F.col("c_body"))
                              .otherwise(F.col("body_html")))
                  .withColumn("_retryable",
                              F.col("status").isin(list(RETRY_CODES))
@@ -768,7 +902,7 @@ class CrawlEngine:
                StructField("is_sitemap", BooleanType()),
                StructField("canonical_url", StringType())])
         extracted = (batch.filter(F.col("_ok"))
-                     .select(*passthrough, "body_html")
+                     .select(*passthrough, "body_html", "x_robots")
                      .mapInPandas(
                          _extract_fn(passthrough, cfg.sitemaps_enabled),
                          extract_schema)
@@ -1139,8 +1273,10 @@ class CrawlEngine:
                     .select("fingerprint", F.col("status").cast("int"),
                             "redirect_to", "body_html",
                             F.lit(self._cache_epoch).cast("int")
-                            .alias("epoch")))
-                cache_fut = pool.submit(self._write_cache, to_cache, ver)
+                            .alias("epoch"),
+                            F.when(F.col("status") == 200,
+                                   F.col("validator")).alias("validator")))
+                cache_fut = pool.submit(self._write_cache, to_cache)
             paths = {name: f.result() for name, f in futs.items()}
             cache_stage = cache_fut.result() if cache_fut is not None \
                 else None
@@ -1164,10 +1300,16 @@ class CrawlEngine:
             "next_rank": next_rank + fetched_total,
             "total_fetched": st["total_fetched"] + fetched_total,
             "total_items": st.get("total_items", 0) + n_items,
+            # F6 r4 CLOSESPIDER_ERRORCOUNT: cumulative error responses
+            "total_errors": st.get("total_errors", 0) + sums["errors"],
             "config": st["config"],
             "pending": (st["pending"] - fetched_total - sums["robots_blocked"]
                         + sums["retried"] + sums["enqueued"]),
         }
+        if use_cache:
+            state["cache_epoch"] = self._cache_epoch + 1
+        elif "cache_epoch" in st:
+            state["cache_epoch"] = st["cache_epoch"]
 
         if not dist_shards:
             # fast path: merge the just-written seen delta into the cached
@@ -1203,6 +1345,9 @@ class CrawlEngine:
         self.store.commit(rnd, state, tables)
         if use_cache and cache_stage is not None:
             os.rename(*cache_stage)   # publish cache ONLY after commit
+            if cfg.httpcache_compact_every > 0 and \
+                    (self._cache_epoch + 1) % cfg.httpcache_compact_every == 0:
+                self._compact_cache()
         self.last_timings = _t
 
         for df in (fr, host_round, batch, extracted, items, c, new_rows,
@@ -1342,6 +1487,10 @@ class CrawlEngine:
                     manifest["state"].get("total_items", 0) \
                     >= cfg.item_budget:
                 break
+            if cfg.error_budget and \
+                    manifest["state"].get("total_errors", 0) \
+                    >= cfg.error_budget:
+                break
             prev = manifest
             manifest = self.run_round(manifest)
             if manifest["state"]["total_fetched"] == prev["state"]["total_fetched"] \
@@ -1363,6 +1512,16 @@ class CrawlEngine:
 
     def metrics_df(self, manifest: dict) -> DataFrame:
         return self.store.read(self.spark, manifest, "metrics", METRICS_SCHEMA)
+
+    def export_feed(self, manifest: dict, out_path: str,
+                    fmt: str = "jsonlines", single_file: bool = True) -> None:
+        """O1 feed export (r4): write the crawl's documents as JSONLines or
+        CSV in crawl order — the `-o items.jl` surface
+        [S:scrapy/exporters.py]. See crawlspark.exporters."""
+        from .exporters import documents_export_df, write_feed
+        write_feed(documents_export_df(self.documents_df(manifest),
+                                       self.crawl_order_df(manifest)),
+                   out_path, fmt=fmt, single_file=single_file)
 
     def seen_cardinality_df(self, manifest: dict) -> DataFrame:
         """A3 monitoring: HLL (rsd=2%) estimate of the seen-set size next

@@ -64,6 +64,15 @@ PAGES_SCHEMA = pa.schema([
     ("meta_nofollow", pa.bool_()),     # page-level robots meta nofollow (r3)
     ("canonical_raw", pa.string()),    # golden raw rel=canonical href (r3)
     ("retry_after_s", pa.float64()),   # Retry-After on 429/503 pages (r3)
+    ("validator", pa.string()),        # ETag analogue (r4): stored with a
+                                       # 200's cache entry; an expired entry
+                                       # whose validator still matches the
+                                       # page revalidates ("304") instead of
+                                       # a full re-fetch
+    ("x_robots", pa.string()),         # X-Robots-Tag response header (r4):
+                                       # "nofollow" suppresses link/form
+                                       # discovery, composing with the
+                                       # meta-robots page tag (either wins)
 ])
 
 
@@ -102,7 +111,8 @@ def generate(n_pages: int = 300, seed: int = 42,
              chain_len: int = 25, with_cookies: bool = True,
              with_nofollow: bool = True,
              with_sitemaps: bool = True,
-             with_meta: bool = True) -> dict[str, pd.DataFrame]:
+             with_meta: bool = True,
+             with_x_robots: bool = False) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
     n_small = max(4, n_pages // 40)
     hosts = _hosts(n_small)
@@ -160,6 +170,9 @@ def generate(n_pages: int = 300, seed: int = 42,
     # Retry-After signals (r3): independent stream; ~60% of 429/503 pages
     # ask for a backoff that exceeds the politeness delay
     rrng = random.Random(seed ^ 0x7E7A)
+    # X-Robots-Tag headers (r4): independent stream, drawn ONLY when the
+    # knob is on so default graphs are bit-identical to r3
+    xrng = random.Random(seed ^ 0x0B07)
     # --- per-page rows
     rows = []
     for u, h in zip(urls, url_host_l):
@@ -259,18 +272,28 @@ def generate(n_pages: int = 300, seed: int = 42,
             elif mr < 0.14:
                 canon_raw = _mess_up(mrng, mrng.choice(by_host[h]),
                                      same_host=True)
+        # X-Robots-Tag (r4): ~8% of non-root 200 pages carry a header-level
+        # nofollow; overlaps with meta_nf naturally (independent streams),
+        # exercising the either-suppresses composition
+        x_robots = None
+        if with_x_robots and not is_root and status == 200 \
+                and xrng.random() < 0.08:
+            x_robots = xrng.choice(["nofollow", "noindex, nofollow"])
+        hdr_nf = x_robots is not None and "nofollow" in x_robots
         title = f"{h}{path}"
         body = render_html(title, spans, hrefs, media_srcs, forms, nofollow,
                            meta_nofollow=meta_nf, canonical=canon_raw)
-        # goldens are DISCOVERY goldens: a meta-nofollow page still renders
-        # its anchors/forms, but the extractor must discover nothing
+        # goldens are DISCOVERY goldens: a meta-nofollow (or header-
+        # nofollow) page still renders its anchors/forms, but the
+        # extractor must discover nothing
+        no_follow_all = meta_nf or hdr_nf
         rows.append((u, h, path, status, redirect_to, succ, latency, title,
                      body, [s._asdict() for s in spans],
-                     [] if meta_nf else hrefs,
-                     [] if meta_nf else [f.action for f in forms],
-                     [] if meta_nf else [f.body for f in forms],
+                     [] if no_follow_all else hrefs,
+                     [] if no_follow_all else [f.action for f in forms],
+                     [] if no_follow_all else [f.body for f in forms],
                      nofollow, set_ck, req_ck, meta_nf, canon_raw,
-                     retry_after))
+                     retry_after, "W/" + fingerprint_hex(u)[:16], x_robots))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -286,7 +309,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                          f"{row[1]}{action}",
                          render_html(f"{row[1]}{action}", sp, [], []),
                          [s._asdict() for s in sp], [], [], [], [],
-                         None, None, False, None, None)
+                         None, None, False, None, None,
+                         "W/" + fingerprint_hex(au)[:16], None)
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -306,7 +330,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                      f"{ch}/chain/{i}x",
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
                      [s._asdict() for s in sp], [], [], [], [],
-                     None, None, False, None, None))
+                     None, None, False, None, None,
+                     "W/" + fingerprint_hex(cu)[:16], None))
 
     # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
     # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
@@ -327,7 +352,8 @@ def generate(n_pages: int = 300, seed: int = 42,
             lat = 20.0 + (int(fingerprint_hex(u)[:6], 16) % 2000) / 10.0
             return (u, h, path, status, None, None, lat, f"{h}{path}",
                     body, [s._asdict() for s in spans], outlinks,
-                    [], [], [], None, None, False, None, None)
+                    [], [], [], None, None, False, None, None,
+                    "W/" + fingerprint_hex(u)[:16], None)
 
         sm_hosts = [h for h in hosts if srng.random() < 0.25]
         for idx, h in enumerate(sm_hosts):
@@ -424,11 +450,13 @@ def write_fixture(out_dir: str, n_pages: int = 300, seed: int = 42,
                   chain_len: int = 25, with_cookies: bool = True,
                   with_nofollow: bool = True,
                   with_sitemaps: bool = True,
-                  with_meta: bool = True) -> CrawlConfig:
+                  with_meta: bool = True,
+                  with_x_robots: bool = False) -> CrawlConfig:
     os.makedirs(out_dir, exist_ok=True)
     dfs = generate(n_pages=n_pages, seed=seed, chain_len=chain_len,
                    with_cookies=with_cookies, with_nofollow=with_nofollow,
-                   with_sitemaps=with_sitemaps, with_meta=with_meta)
+                   with_sitemaps=with_sitemaps, with_meta=with_meta,
+                   with_x_robots=with_x_robots)
     pq.write_table(pa.Table.from_pandas(dfs["pages"], schema=PAGES_SCHEMA,
                                         preserve_index=False),
                    os.path.join(out_dir, "pages.parquet"))

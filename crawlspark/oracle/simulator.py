@@ -95,7 +95,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
              reseed: tuple[int, list[tuple[str, bool]]] | None = None
              ) -> OracleResult:
     """``cache`` is the X12 HTTP-cache: {fingerprint: (status,
-    redirect_to, body_html, epoch)} plus the bookkeeping key
+    redirect_to, body_html, epoch, validator)} plus the bookkeeping key
     ``"__epoch__"`` (the current cache epoch — one per caching round,
     mirroring the engine's one-published-dir-per-round). When
     cfg.http_cache is on, non-retryable responses are appended IN PLACE
@@ -106,7 +106,13 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     cfg.httpcache_expiration_rounds = N > 0 an entry is fresh while
     cur_epoch - entry_epoch <= N; an expired entry is a MISS and the
     re-fetch re-caches it at the current epoch (r3 TTL —
-    HTTPCACHE_EXPIRATION_SECS analogue in epochs)."""
+    HTTPCACHE_EXPIRATION_SECS analogue in epochs). With
+    cfg.httpcache_revalidate (r4, RFC2616Policy ETag analogue) an EXPIRED
+    entry carrying a validator goes to the network budget-gated like any
+    fetch, but if the live response would be 200 with an UNCHANGED
+    ``validator`` the server "304"s: the cached body/redirect are served
+    and the entry's epoch refreshes; a changed validator (or non-200) is
+    a full re-fetch + re-cache."""
     pages = {
         r.url_canon: r for r in fixture["pages"].itertuples(index=False)
     }
@@ -135,6 +141,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             return fp in res.seen
         return fp in sr and at_round - sr[fp] < seen_ttl
     items_emitted = 0   # F6 CLOSESPIDER_ITEMCOUNT analogue (r3)
+    errors_total = 0    # F6 CLOSESPIDER_ERRORCOUNT analogue (r4)
     carry: dict[str, float] = {}
     at_state: dict[str, float] = {}   # A5 AutoThrottle adaptive delay
     ra_state: dict[str, float] = {}   # X10->F4 pending Retry-After (r3)
@@ -296,10 +303,11 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 sr[req.fingerprint] = rnd   # fetch refreshes the seen entry
             hit = cache_fresh(req.fingerprint)
             page = pages.get(req.url_canon)
+            reval = False
             if hit:
                 # X12 cache hit: served locally — no budget/carry/AT cost
-                status, cached_redirect, cached_body, _ = \
-                    cache[req.fingerprint]
+                status, cached_redirect, cached_body = \
+                    cache[req.fingerprint][:3]
                 mc(req.host, "cached")
             else:
                 fetched_per_host[req.host] = \
@@ -322,6 +330,18 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     if page is not None else 0.0
                 responses_per_host.setdefault(req.host, []) \
                     .append((lat_s, status))
+                # X12 r4 conditional revalidation: an expired entry with a
+                # validator sent a conditional GET (it consumed the budget
+                # + fed AT above, like any network fetch); a 200 whose
+                # validator is unchanged is the server's "304" — serve the
+                # cached triple and refresh the entry's epoch below
+                if cfg.httpcache_revalidate and use_cache \
+                        and req.fingerprint in cache and status == 200:
+                    entry = cache[req.fingerprint]
+                    pv = getattr(page, "validator", None) \
+                        if page is not None else None
+                    pv = pv if isinstance(pv, str) and pv else None
+                    reval = entry[4] is not None and pv == entry[4]
                 if status in (429, 503) and page is not None:
                     ra = getattr(page, "retry_after_s", None)
                     if ra is not None and not pd.isna(ra):
@@ -337,10 +357,14 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             total_fetched += 1
             mc(req.host, "fetched")
 
-            redirect_tgt = cached_redirect if hit else (
-                page.redirect_to if page is not None else None)
-            body = cached_body if hit else (
-                page.body_html if page is not None else None)
+            if reval:
+                # served from cache on the validator match ("304 body")
+                redirect_tgt, body = cache[req.fingerprint][1:3]
+            else:
+                redirect_tgt = cached_redirect if hit else (
+                    page.redirect_to if page is not None else None)
+                body = cached_body if hit else (
+                    page.body_html if page is not None else None)
             stream: list = []
             if status in RETRY_CODES:
                 mc(req.host, "errors")
@@ -352,10 +376,19 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 stream = [redirect_tgt]
             elif status == 200 and body is not None:
                 mc(req.host, "ok")
+                # X14 r4: X-Robots-Tag response-header nofollow — read
+                # from the live fixture at processing time (headers are
+                # not modeled in the cache; pinned deviation, COVERAGE.md)
+                # — suppresses ALL discovery from this response, composing
+                # with the meta tag (either suppresses). Spans/documents
+                # are unaffected: nofollow stops following, not indexing.
+                xr = getattr(page, "x_robots", None) \
+                    if page is not None else None
+                hdr_nf = isinstance(xr, str) and "nofollow" in xr.lower()
                 if cfg.sitemaps_enabled and is_sitemap(body):
                     # F1 sitemap extension (r3): locs in document order,
                     # NO document row [S:scrapy/spiders/sitemap.py]
-                    stream = parse_sitemap(body)
+                    stream = [] if hdr_nf else parse_sitemap(body)
                 else:
                     # X9 r3: parse_page applies page-level robots-meta
                     # nofollow (hrefs/forms empty) + rel=canonical
@@ -367,14 +400,22 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     if meta.canonical_raw:
                         res.canonical[req.fingerprint] = canonicalize_url(
                             absolutize(req.url_canon, meta.canonical_raw))
-                    stream = hrefs + forms   # R2: links first, then forms
+                    # R2: links first, then forms
+                    stream = [] if hdr_nf else hrefs + forms
             else:
                 mc(req.host, "errors")
             if use_cache and not hit and status not in RETRY_CODES:
                 # DummyPolicy: store every non-retryable response at the
-                # current epoch (re-caching an expired entry refreshes it)
+                # current epoch (re-caching an expired — or revalidated —
+                # entry refreshes it). Validators ride only on 200s
+                # (a real server sends ETag with the entity, not with
+                # errors/redirects), so only 200 entries can revalidate.
+                pv = getattr(page, "validator", None) \
+                    if page is not None else None
+                pv = pv if isinstance(pv, str) and pv else None
                 cache[req.fingerprint] = \
-                    (status, redirect_tgt, body, cur_epoch)
+                    (status, redirect_tgt, body, cur_epoch,
+                     pv if status == 200 else None)
             if cfg.cookies_enabled and status == 200 and page is not None:
                 set_ck = getattr(page, "set_cookie", None)
                 if isinstance(set_ck, str) and set_ck:
@@ -454,9 +495,14 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         for host, d in sorted(m.items()):
             res.metrics.append({"round": rnd, "host": host, **d})
 
+        errors_total += sum(d["errors"] for d in m.values())
         if cfg.page_budget and total_fetched >= cfg.page_budget:
             break
         if cfg.item_budget and items_emitted >= cfg.item_budget:
+            break
+        # F6 r4 CLOSESPIDER_ERRORCOUNT analogue: graceful close after the
+        # first round whose cumulative error-response count hits the budget
+        if cfg.error_budget and errors_total >= cfg.error_budget:
             break
         _ = round_base  # documented anchor for engine parity (R2)
 

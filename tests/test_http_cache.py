@@ -161,6 +161,146 @@ def test_cache_publish_transactional_with_commit(spark, tmp_path_factory):
     assert m.cached.sum() == 0   # first crawl: the cache never serves
 
 
+@pytest.mark.parametrize("ttl", [0, 2])
+def test_cache_compaction_preserves_semantics(spark, tmp_path_factory, ttl):
+    """X12 compaction (r4, VERDICT r03 #2): with
+    httpcache_compact_every=2 the engine folds published cache dirs into
+    one latest-epoch-wins dir every 2 epochs. Compaction must be purely
+    physical: the compacted run's crawl order equals the uncompacted
+    run's AND the oracle's, a sabotaged-network re-crawl still serves
+    the original bodies from the compacted cache, and the cache dir
+    count stays O(cadence) instead of one per round."""
+    import os
+    base = _cfg()
+    cfg = CrawlConfig(**{**base.to_dict(),
+                         "allowed_domains": base.allowed_domains,
+                         "httpcache_compact_every": 2,
+                         "httpcache_expiration_rounds": ttl})
+    fx = str(tmp_path_factory.mktemp(f"cp_graph_{ttl}"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+
+    oracle_cache: dict = {}
+    oracle_a = simulate(pdfs, cfg, cache=oracle_cache)
+    cache_dir = str(tmp_path_factory.mktemp(f"cp_cache_{ttl}"))
+    eng_a = CrawlEngine(spark, fx,
+                        str(tmp_path_factory.mktemp(f"cp_run_a_{ttl}")),
+                        cfg, cache_dir=cache_dir)
+    man_a = eng_a.run()
+    got = _order(eng_a, man_a)
+    want = pd.DataFrame(oracle_a.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert oracle_a.rounds >= 4   # compaction ran at least once
+    published = [d for d in os.listdir(cache_dir) if d.startswith("r")]
+    assert len(published) <= 2, published   # O(cadence), not O(rounds)
+    assert any("c-" in d for d in published)
+
+    # sabotaged re-crawl: only the COMPACTED cache can produce documents
+    n = len(pdfs["pages"])
+    mut = pdfs["pages"].assign(
+        status=pd.array([404] * n, dtype="int32"),
+        redirect_to=pd.array([None] * n, dtype="string"),
+        succeeds_after=pd.array([None] * n, dtype="Int32"),
+        body_html="")
+    fx_b = str(tmp_path_factory.mktemp(f"cp_graph_b_{ttl}"))
+    mut.to_parquet(f"{fx_b}/pages.parquet", index=False)
+    for name in ("seeds", "robots", "host_policy"):
+        pdfs[name].to_parquet(f"{fx_b}/{name}.parquet", index=False)
+    pdfs_b = {name: pd.read_parquet(f"{fx_b}/{name}.parquet")
+              for name in ("seeds", "pages", "robots", "host_policy")}
+    oracle_b = simulate(pdfs_b, cfg, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx_b,
+                        str(tmp_path_factory.mktemp(f"cp_run_b_{ttl}")),
+                        cfg, cache_dir=cache_dir)
+    man_b = eng_b.run()
+    got_b = _order(eng_b, man_b)
+    want_b = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got_b.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b, want_b)
+    m = eng_b.metrics_df(man_b).toPandas()
+    assert m.cached.sum() > 0
+
+
+def test_cache_revalidation_oracle_exact(spark, tmp_path_factory):
+    """X12 r4 conditional revalidation (RFC2616Policy ETag analogue):
+    run B re-crawls with ttl=1 (most entries expired) + revalidation on,
+    against a network whose BODIES are all blanked but whose validators
+    are unchanged except on a deterministic subset. Expired entries with
+    an unchanged validator must revalidate — serve their ORIGINAL run-A
+    body (provably not the network's, which is blank) while consuming
+    politeness budget like a fetch — and changed-validator pages must
+    fully re-fetch the blank body. Crawl order is oracle-exact."""
+    base = _cfg()
+    cfg_a = CrawlConfig(**{**base.to_dict(),
+                           "allowed_domains": base.allowed_domains,
+                           "httpcache_revalidate": True})
+    fx = str(tmp_path_factory.mktemp("rv_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg_a, chain_len=0)
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    cache_dir = str(tmp_path_factory.mktemp("rv_cache"))
+    oracle_cache: dict = {}
+    oracle_a = simulate(pdfs, cfg_a, cache=oracle_cache)
+    eng_a = CrawlEngine(spark, fx,
+                        str(tmp_path_factory.mktemp("rv_run_a")),
+                        cfg_a, cache_dir=cache_dir)
+    man_a = eng_a.run()
+    docs_a = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_a.documents_df(man_a).toPandas().itertuples()}
+
+    # blank every body; flip validators on a deterministic 1/3 of pages
+    pg = pdfs["pages"].reset_index(drop=True)
+    changed_mask = pg.index % 3 == 0
+    mut = pg.assign(
+        body_html="",
+        validator=pg.validator.where(~changed_mask, "W/changed"))
+    fx_b = str(tmp_path_factory.mktemp("rv_graph_b"))
+    mut.to_parquet(f"{fx_b}/pages.parquet", index=False)
+    for name in ("seeds", "robots", "host_policy"):
+        pdfs[name].to_parquet(f"{fx_b}/{name}.parquet", index=False)
+    pdfs_b = {name: pd.read_parquet(f"{fx_b}/{name}.parquet")
+              for name in ("seeds", "pages", "robots", "host_policy")}
+
+    cfg_b = CrawlConfig(**{**cfg_a.to_dict(),
+                           "allowed_domains": cfg_a.allowed_domains,
+                           "httpcache_expiration_rounds": 1})
+    oracle_b = simulate(pdfs_b, cfg_b, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx_b,
+                        str(tmp_path_factory.mktemp("rv_run_b")),
+                        cfg_b, cache_dir=cache_dir)
+    man_b = eng_b.run()
+    got = _order(eng_b, man_b)
+    want = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # partition run-B documents: unchanged-validator pages revalidated and
+    # kept their ORIGINAL spans; changed-validator pages re-fetched the
+    # blank network body (spans differ from run A's non-empty ones)
+    changed_urls = set(mut[changed_mask].url_canon)
+    fp2url = {o["fingerprint"]: o["url_canon"]
+              for o in oracle_b.crawl_order}
+    docs_b = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_b.documents_df(man_b).toPandas().itertuples()}
+    kept = refetched = 0
+    for doc_id, spans in docs_b.items():
+        if doc_id not in docs_a:
+            continue
+        if fp2url[doc_id] in changed_urls:
+            if docs_a[doc_id]:           # originally non-empty spans
+                assert spans != docs_a[doc_id]
+                refetched += 1
+        else:
+            assert spans == docs_a[doc_id]
+            kept += 1
+    assert kept > 0 and refetched > 0
+    # revalidations hit the network: budget-gated fetches, not cache hits
+    m = eng_b.metrics_df(man_b).toPandas()
+    assert int(m.cached.sum()) < int(m.fetched.sum())
+
+
 def test_cache_ttl_expired_entries_refetch(spark, tmp_path_factory):
     """X12 TTL (r3): run B shares run A's cache but sets
     httpcache_expiration_rounds = roundsA - 1, so exactly the epoch-0

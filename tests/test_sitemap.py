@@ -102,3 +102,40 @@ def test_robots_declared_sitemap_discovered(engine_run, fixture_pdfs):
     assert robots_only, "fixture must have a robots-only sitemap host"
     co = _order_pdf(engine_run)
     assert robots_only <= set(co.url_canon)
+
+
+def test_null_sitemap_urls_cell_tolerated(spark, tmp_path_factory):
+    """ADVICE r03: a robots table whose sitemap_urls cell is NULL (written
+    by another tool — schema allows it) must behave exactly like an empty
+    list in BOTH engines: the oracle guards None explicitly, and the
+    engine's bootstrap count + posexplode must not raise."""
+    import pandas as pd
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.fixtures.webgraph import default_config, write_fixture
+    from crawlspark.oracle.simulator import simulate
+
+    cfg = default_config()
+    fx = str(tmp_path_factory.mktemp("nullsm_graph"))
+    write_fixture(fx, n_pages=110, seed=42, config=cfg, chain_len=0)
+    robots = pd.read_parquet(f"{fx}/robots.parquet")
+    # null out one declaring host's cell and one non-declaring host's
+    vals = list(robots.sitemap_urls)
+    declaring = [i for i, v in enumerate(vals) if v is not None and len(v)]
+    assert declaring
+    vals[declaring[0]] = None
+    vals[(declaring[0] + 1) % len(vals)] = None
+    robots = robots.assign(sitemap_urls=pd.Series(vals, dtype="object"))
+    robots.to_parquet(f"{fx}/robots.parquet", index=False)
+
+    pdfs = {n: pd.read_parquet(f"{fx}/{n}.parquet")
+            for n in ("seeds", "pages", "robots", "host_policy")}
+    oracle = simulate(pdfs, cfg)
+    eng = CrawlEngine(spark, fx, str(tmp_path_factory.mktemp("nullsm_run")),
+                      cfg)
+    manifest = eng.run()
+    cols = ["rank", "fingerprint", "url_canon", "round", "host", "status"]
+    got = (eng.crawl_order_df(manifest).orderBy("rank")
+           .toPandas()[cols].reset_index(drop=True))
+    want = pd.DataFrame(oracle.crawl_order)[cols] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
