@@ -1,6 +1,7 @@
 """F6 stop conditions beyond pending==0/max_rounds: page_budget
-(CLOSESPIDER_PAGECOUNT) and item_budget (CLOSESPIDER_ITEMCOUNT, r3)
-[S:scrapy/extensions/closespider.py]. Both are graceful closes — the
+(CLOSESPIDER_PAGECOUNT), item_budget (CLOSESPIDER_ITEMCOUNT, r3) and
+error_budget (CLOSESPIDER_ERRORCOUNT, r4)
+[S:scrapy/extensions/closespider.py]. All are graceful closes — the
 crossing round completes, so engine and oracle stop at the SAME round
 and the crawl orders are rank-exact.
 """
@@ -19,7 +20,8 @@ ORDER_COLS = ["rank", "fingerprint", "url_canon", "round", "host", "status"]
 
 
 @pytest.mark.parametrize("knob,value", [("page_budget", 30),
-                                        ("item_budget", 20)])
+                                        ("item_budget", 20),
+                                        ("error_budget", 5)])
 def test_budget_stop_oracle_exact(spark, tmp_path_factory, knob, value):
     base = default_config()
     cfg = CrawlConfig(**{**base.to_dict(),
@@ -43,6 +45,10 @@ def test_budget_stop_oracle_exact(spark, tmp_path_factory, knob, value):
     pd.testing.assert_frame_equal(got, want)
     if knob == "page_budget":
         assert manifest["state"]["total_fetched"] >= value
-    else:
+    elif knob == "item_budget":
         assert manifest["state"]["total_items"] >= value
         assert manifest["state"]["total_items"] == len(oracle.documents)
+    else:
+        assert manifest["state"]["total_errors"] >= value
+        m = eng.metrics_df(manifest).toPandas()
+        assert manifest["state"]["total_errors"] == int(m.errors.sum())
