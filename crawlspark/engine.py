@@ -105,6 +105,12 @@ DOCUMENTS_SCHEMA = StructType([
     # the cheapest crawl-side dedup signal; input_hint's (doc_id, spans)
     # contract is preserved, the column is additive
     StructField("canonical_url", StringType()),
+    # O1 r4: the round that produced this row — (doc_id, round) uniquely
+    # names ONE successful fetch, so the feed export can attach each item
+    # to exactly its own crawl-order rank (a retried fingerprint has one
+    # crawl_order row per ATTEMPT; a seen-TTL re-crawl has one document
+    # row per re-fetch). Additive, like canonical_url.
+    StructField("round", IntegerType()),
 ])
 
 METRIC_KEYS = ["fetched", "ok", "errors", "redirects", "retried",
@@ -910,7 +916,8 @@ class CrawlEngine:
         # sitemap fetches expand to their locs but emit NO document row
         documents = (extracted.filter(~F.col("is_sitemap"))
                      .select(F.col("fingerprint").alias("doc_id"), "spans",
-                             "canonical_url"))
+                             "canonical_url",
+                             F.lit(rnd).cast("int").alias("round")))
 
         # ---- R2 stream construction: every raw candidate consumes a seq ----
         # stream elements are (raw, method, body) structs so one stream

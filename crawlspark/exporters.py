@@ -34,12 +34,16 @@ _EXPORT_COLS = ["rank", "doc_id", "canonical_url", "spans"]
 
 def documents_export_df(documents: DataFrame,
                         crawl_order: DataFrame) -> DataFrame:
-    """Join each document to its fetch rank (doc_id == fingerprint of the
-    fetched request) and project the export columns. A doc_id fetched more
-    than once (seen-TTL re-crawl mode) exports one item per fetch, like a
-    spider yielding an item per response."""
-    ranks = crawl_order.select(F.col("fingerprint").alias("doc_id"), "rank")
-    return (documents.join(ranks, "doc_id")
+    """Join each document to the rank of the ONE fetch that produced it
+    (doc_id == fingerprint; (doc_id, round) names a single successful
+    attempt — crawl_order also carries the FAILED attempts of a retried
+    fingerprint, each with its own rank, and a seen-TTL re-crawl carries
+    one document row per re-fetch). A doc_id fetched more than once
+    exports one item per fetch, like a spider yielding an item per
+    response."""
+    ranks = crawl_order.select(F.col("fingerprint").alias("doc_id"),
+                               "round", "rank")
+    return (documents.join(ranks, ["doc_id", "round"])
             .select("rank", "doc_id", "canonical_url", "spans"))
 
 

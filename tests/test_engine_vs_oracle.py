@@ -70,11 +70,12 @@ def test_documents_schema(engine_run):
     eng, manifest = engine_run
     df = eng.documents_df(manifest)
     # input_hint contract (doc_id, spans) + the additive r3
-    # canonical_url column (X9 rel=canonical)
+    # canonical_url column (X9 rel=canonical) + the additive r4 round
+    # column ((doc_id, round) names one successful fetch — O1 export)
     assert df.schema.simpleString() == (
         "struct<doc_id:string,spans:array<struct<"
         "kind:string,text:string,media_ref:string,offset:int>>,"
-        "canonical_url:string>")
+        "canonical_url:string,round:int>")
 
 
 def test_metrics_exact(engine_run, oracle_result):

@@ -97,6 +97,23 @@ def test_export_deterministic_bytes(exported, tmp_path_factory):
     assert a == b
 
 
+def test_many_file_mode_global_order(exported, tmp_path_factory):
+    """single_file=False (the 100 TB path): rows range-partition by rank
+    into many part files, each internally sorted — concatenating part
+    files in lexical name order must reproduce the exact single-file
+    byte stream (range partitions are assigned to ascending partition
+    ids, so lexical file order IS rank order)."""
+    eng, manifest, jl, *_ = exported
+    out = str(tmp_path_factory.mktemp("feed_many") / "items_jl")
+    eng.export_feed(manifest, out, fmt="jsonlines", single_file=False)
+    files = sorted(glob.glob(os.path.join(out, "*.json")))
+    lines = []
+    for p in files:
+        with open(p) as f:
+            lines.extend(f.read().splitlines())
+    assert lines == _read_lines(jl, "json")
+
+
 def test_unknown_format_raises(exported, spark):
     eng, manifest, *_ = exported
     with pytest.raises(ValueError, match="unsupported feed format"):
