@@ -220,7 +220,17 @@ def test_cache_compaction_preserves_semantics(spark, tmp_path_factory, ttl):
         .astype(got_b.dtypes.to_dict()).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_b, want_b)
     m = eng_b.metrics_df(man_b).toPandas()
-    assert m.cached.sum() > 0
+    if ttl == 0:
+        assert m.cached.sum() > 0
+    else:
+        # ttl=2: run B's epoch counter starts at run A's end and advances
+        # in lockstep with its own rounds, so every run-A entry is >ttl
+        # epochs old by the time run B's dequeue reaches it — NOTHING may
+        # be served. An engine that rewrote entry epochs at compaction
+        # (extending TTLs instead of preserving them) would serve the
+        # sabotaged pages' original bodies here and diverge from the
+        # oracle frame-equality above.
+        assert m.cached.sum() == 0
 
 
 def test_cache_revalidation_oracle_exact(spark, tmp_path_factory):
