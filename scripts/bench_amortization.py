@@ -46,7 +46,12 @@ def ensure_fixture(n_pages: int, cfg) -> str:
     from crawlspark.fixtures.webgraph import write_fixture
     fx = os.path.join(tempfile.gettempdir(),
                       f"crawlspark_amort_fx_v5_{n_pages}")
-    if not os.path.isdir(fx):
+    # config.json is written LAST by write_fixture — its presence marks a
+    # complete fixture; a bare isdir check would reuse a half-written dir
+    # left by an interrupted generation
+    if not os.path.isfile(os.path.join(fx, "config.json")):
+        import shutil
+        shutil.rmtree(fx, ignore_errors=True)
         print(f"generating {n_pages}-page workload-pure graph...",
               flush=True)
         write_fixture(fx, n_pages=n_pages, seed=42, config=cfg,

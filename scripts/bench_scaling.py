@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import statistics
 import subprocess
 import sys
@@ -71,7 +72,11 @@ def ensure_fixture(n_pages: int) -> str:
     # discovery volume — same choice as bench.py
     fx = os.path.join(tempfile.gettempdir(),
                       f"crawlspark_scaling_fx_v5_{n_pages}")
-    if not os.path.isdir(fx):
+    # config.json is written LAST by write_fixture — its presence marks a
+    # complete fixture; a bare isdir check would reuse a half-written dir
+    # left by an interrupted generation
+    if not os.path.isfile(os.path.join(fx, "config.json")):
+        shutil.rmtree(fx, ignore_errors=True)
         write_fixture(fx, n_pages=n_pages, seed=42, config=crawl_config(),
                       chain_len=0, with_cookies=False, with_nofollow=False,
                       with_sitemaps=False, with_meta=False)
