@@ -191,6 +191,7 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
             spans_col, links_col, canon_col = [], [], []
             form_act_col, form_body_col, sm_col, canonical_col = \
                 [], [], [], []
+            noindex_col = []
             xr_col = pdf["x_robots"] if "x_robots" in pdf.columns \
                 else [None] * len(pdf)
             for url, body, xr in zip(pdf["url_canon"], pdf["body_html"],
@@ -202,6 +203,10 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                 # spans/canonical are unaffected — nofollow stops
                 # FOLLOWING, not indexing
                 hdr_nf = isinstance(xr, str) and "nofollow" in xr.lower()
+                # X14 r4b: noindex (meta or header) — the page is crawled
+                # and its links followed, but it yields NO document row
+                # (items/feed-export/budget all follow from that filter)
+                hdr_ni = isinstance(xr, str) and "noindex" in xr.lower()
                 if sitemaps_enabled and is_sitemap(body_s):
                     locs = [] if hdr_nf else parse_sitemap(body_s)
                     spans_col.append([])
@@ -212,6 +217,7 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                     form_body_col.append([])
                     sm_col.append(True)
                     canonical_col.append(None)
+                    noindex_col.append(False)  # sitemaps never emit docs
                     continue
                 # X9 r3: parse_page applies page-level robots-meta
                 # nofollow (hrefs/forms already emptied) and surfaces the
@@ -220,6 +226,7 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
                 spans, hrefs, forms, meta = parse_page(url, body_s)
                 if hdr_nf:
                     hrefs, forms = [], []
+                noindex_col.append(bool(meta.noindex) or hdr_ni)
                 spans_col.append([s._asdict() for s in spans])
                 links_col.append(hrefs)
                 canon_col.append(
@@ -240,6 +247,7 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
             out["outforms_body"] = form_body_col
             out["is_sitemap"] = sm_col
             out["canonical_url"] = canonical_col
+            out["noindex"] = noindex_col
             yield out
     return fn
 
@@ -906,15 +914,20 @@ class CrawlEngine:
                StructField("outforms_action", ArrayType(StringType())),
                StructField("outforms_body", ArrayType(StringType())),
                StructField("is_sitemap", BooleanType()),
-               StructField("canonical_url", StringType())])
+               StructField("canonical_url", StringType()),
+               StructField("noindex", BooleanType())])
         extracted = (batch.filter(F.col("_ok"))
                      .select(*passthrough, "body_html", "x_robots")
                      .mapInPandas(
                          _extract_fn(passthrough, cfg.sitemaps_enabled),
                          extract_schema)
                      ).cache()
-        # sitemap fetches expand to their locs but emit NO document row
-        documents = (extracted.filter(~F.col("is_sitemap"))
+        # sitemap fetches expand to their locs but emit NO document row;
+        # noindex pages (X14 r4b: meta or X-Robots-Tag) are crawled and
+        # followed but likewise yield no document — this one filter also
+        # governs feed export and the item budget, which read documents
+        documents = (extracted.filter(~F.col("is_sitemap")
+                                      & ~F.col("noindex"))
                      .select(F.col("fingerprint").alias("doc_id"), "spans",
                              "canonical_url",
                              F.lit(rnd).cast("int").alias("round")))

@@ -72,7 +72,13 @@ PAGES_SCHEMA = pa.schema([
     ("x_robots", pa.string()),         # X-Robots-Tag response header (r4):
                                        # "nofollow" suppresses link/form
                                        # discovery, composing with the
-                                       # meta-robots page tag (either wins)
+                                       # meta-robots page tag (either wins);
+                                       # "noindex" suppresses the document
+                                       # row (page still crawled+followed)
+    ("meta_noindex", pa.bool_()),      # page-level robots meta noindex
+                                       # (r4b): golden for the no-document
+                                       # rule; renders into the same meta
+                                       # tag as meta_nofollow
 ])
 
 
@@ -167,6 +173,9 @@ def generate(n_pages: int = 300, seed: int = 42,
     # declare rel=canonical to another same-host page via a messy href
     # (canonicalizer fodder, like outlinks)
     mrng = random.Random(seed ^ 0xCA7014)
+    # meta noindex (r4b): its own stream — drawn from mrng it would shift
+    # every later page's nofollow/canonical draw and reshape the graph
+    nrng = random.Random(seed ^ 0x401DE)
     # Retry-After signals (r3): independent stream; ~60% of 429/503 pages
     # ask for a backoff that exceeds the politeness delay
     rrng = random.Random(seed ^ 0x7E7A)
@@ -272,17 +281,25 @@ def generate(n_pages: int = 300, seed: int = 42,
             elif mr < 0.14:
                 canon_raw = _mess_up(mrng, mrng.choice(by_host[h]),
                                      same_host=True)
+        # noindex (r4b): independent stream so adding it leaves every
+        # pre-existing draw (and thus graph shape) untouched; ~5% of
+        # non-root 200 pages; composes freely with meta_nf/canonical
+        meta_ni = bool(with_meta and not is_root and status == 200
+                       and nrng.random() < 0.05)
         # X-Robots-Tag (r4): ~8% of non-root 200 pages carry a header-level
-        # nofollow; overlaps with meta_nf naturally (independent streams),
-        # exercising the either-suppresses composition
+        # directive; overlaps with meta_nf naturally (independent streams),
+        # exercising the either-suppresses composition. Pure "noindex"
+        # (r4b) exercises followed-but-not-indexed via the header alone
         x_robots = None
         if with_x_robots and not is_root and status == 200 \
                 and xrng.random() < 0.08:
-            x_robots = xrng.choice(["nofollow", "noindex, nofollow"])
+            x_robots = xrng.choice(["nofollow", "noindex",
+                                    "noindex, nofollow"])
         hdr_nf = x_robots is not None and "nofollow" in x_robots
         title = f"{h}{path}"
         body = render_html(title, spans, hrefs, media_srcs, forms, nofollow,
-                           meta_nofollow=meta_nf, canonical=canon_raw)
+                           meta_nofollow=meta_nf, canonical=canon_raw,
+                           meta_noindex=meta_ni)
         # goldens are DISCOVERY goldens: a meta-nofollow (or header-
         # nofollow) page still renders its anchors/forms, but the
         # extractor must discover nothing
@@ -293,7 +310,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                      [] if no_follow_all else [f.action for f in forms],
                      [] if no_follow_all else [f.body for f in forms],
                      nofollow, set_ck, req_ck, meta_nf, canon_raw,
-                     retry_after, "W/" + fingerprint_hex(u)[:16], x_robots))
+                     retry_after, "W/" + fingerprint_hex(u)[:16], x_robots,
+                     meta_ni))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -310,7 +328,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                          render_html(f"{row[1]}{action}", sp, [], []),
                          [s._asdict() for s in sp], [], [], [], [],
                          None, None, False, None, None,
-                         "W/" + fingerprint_hex(au)[:16], None)
+                         "W/" + fingerprint_hex(au)[:16], None, False)
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -331,7 +349,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
                      [s._asdict() for s in sp], [], [], [], [],
                      None, None, False, None, None,
-                     "W/" + fingerprint_hex(cu)[:16], None))
+                     "W/" + fingerprint_hex(cu)[:16], None, False))
 
     # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
     # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
@@ -353,7 +371,7 @@ def generate(n_pages: int = 300, seed: int = 42,
             return (u, h, path, status, None, None, lat, f"{h}{path}",
                     body, [s._asdict() for s in spans], outlinks,
                     [], [], [], None, None, False, None, None,
-                    "W/" + fingerprint_hex(u)[:16], None)
+                    "W/" + fingerprint_hex(u)[:16], None, False)
 
         sm_hosts = [h for h in hosts if srng.random() < 0.25]
         for idx, h in enumerate(sm_hosts):

@@ -50,9 +50,15 @@ class PageMeta(NamedTuple):
     the per-anchor rel=nofollow [S:scrapy robots-meta middleware
     conventions]); <link rel="canonical" href="..."> is surfaced RAW for
     the pipeline to normalize (the cheapest dedup signal a crawler
-    gets)."""
+    gets). ``noindex`` (r4) is the complementary REP directive: the page
+    is crawled and its links followed, but it must yield NO document —
+    the engine drops its documents/feed-export row (and the item-budget
+    count) while discovery proceeds [S:robots-meta conventions; Scrapy
+    exposes the tag to user spiders rather than indexing, so the
+    engine-side analogue is suppressing item emission]."""
     nofollow: bool
     canonical_raw: str | None
+    noindex: bool = False
 
 
 def media_ref_for(base_url: str, src: str) -> str:
@@ -66,17 +72,22 @@ def render_html(title: str, spans: list[Span], hrefs: list[str],
                 forms: list[Form] = (),
                 nofollow: list[str] = (),
                 meta_nofollow: bool = False,
-                canonical: str | None = None) -> str:
+                canonical: str | None = None,
+                meta_noindex: bool = False) -> str:
     """Render the fixture page. ``media_srcs[i]`` is the raw src of the i-th
     media span (spans store only the derived media_ref). Forms render after
     the link list, one hidden input per urlencoded field. ``nofollow``
     hrefs render as ``rel="nofollow"`` anchors after the followable
-    links — the extractor must NOT discover them. ``meta_nofollow``
-    renders a page-level robots meta tag; ``canonical`` a
-    rel=canonical link in the head (r3)."""
+    links — the extractor must NOT discover them. ``meta_nofollow`` /
+    ``meta_noindex`` render as one page-level robots meta tag (comma
+    token list, as real servers emit it); ``canonical`` a rel=canonical
+    link in the head (r3)."""
     head = [f"<title>{_html.escape(title)}</title>"]
-    if meta_nofollow:
-        head.append('<meta name="robots" content="nofollow"/>')
+    robots_tokens = ([*(["noindex"] if meta_noindex else []),
+                      *(["nofollow"] if meta_nofollow else [])])
+    if robots_tokens:
+        head.append(f'<meta name="robots" '
+                    f'content="{", ".join(robots_tokens)}"/>')
     if canonical:
         head.append(
             f'<link rel="canonical" href="{_html.escape(canonical)}"/>')
@@ -178,8 +189,10 @@ def parse_page(base_url: str, body: str) \
             )
     mr = _META_ROBOTS_RE.search(body)
     nofollow = bool(mr) and "nofollow" in mr.group(1)
+    noindex = bool(mr) and "noindex" in mr.group(1)
     cn = _CANONICAL_RE.search(body)
-    meta = PageMeta(nofollow, _html.unescape(cn.group(1)) if cn else None)
+    meta = PageMeta(nofollow, _html.unescape(cn.group(1)) if cn else None,
+                    noindex)
     if nofollow:
         return spans, [], [], meta
     hrefs = [_html.unescape(h) for h in _HREF_RE.findall(body)]

@@ -385,21 +385,28 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 xr = getattr(page, "x_robots", None) \
                     if page is not None else None
                 hdr_nf = isinstance(xr, str) and "nofollow" in xr.lower()
+                hdr_ni = isinstance(xr, str) and "noindex" in xr.lower()
                 if cfg.sitemaps_enabled and is_sitemap(body):
                     # F1 sitemap extension (r3): locs in document order,
                     # NO document row [S:scrapy/spiders/sitemap.py]
                     stream = [] if hdr_nf else parse_sitemap(body)
                 else:
                     # X9 r3: parse_page applies page-level robots-meta
-                    # nofollow (hrefs/forms empty) + rel=canonical
+                    # nofollow (hrefs/forms empty) + rel=canonical.
+                    # X14 r4b: noindex (meta or X-Robots-Tag header) —
+                    # page crawled, links followed, but NO document row
+                    # (no item count, no canonical registration: the
+                    # canonical rides on the document)
                     spans, hrefs, forms, meta = \
                         parse_page(req.url_canon, body)
-                    res.documents[req.fingerprint] = \
-                        [s._asdict() for s in spans]
-                    items_emitted += 1
-                    if meta.canonical_raw:
-                        res.canonical[req.fingerprint] = canonicalize_url(
-                            absolutize(req.url_canon, meta.canonical_raw))
+                    if not (meta.noindex or hdr_ni):
+                        res.documents[req.fingerprint] = \
+                            [s._asdict() for s in spans]
+                        items_emitted += 1
+                        if meta.canonical_raw:
+                            res.canonical[req.fingerprint] = \
+                                canonicalize_url(absolutize(
+                                    req.url_canon, meta.canonical_raw))
                     # R2: links first, then forms
                     stream = [] if hdr_nf else hrefs + forms
             else:
