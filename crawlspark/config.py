@@ -10,6 +10,19 @@ from dataclasses import dataclass
 # Scrapy RETRY_HTTP_CODES default [S:scrapy/downloadermiddlewares/retry.py]
 RETRY_CODES = frozenset({500, 502, 503, 504, 522, 524, 408, 429})
 
+# X16 download limits (r4b): synthetic statuses for failures that happen
+# at the TRANSPORT level, below HTTP. A timed-out download retries —
+# Scrapy's TimeoutError is in RetryMiddleware's EXCEPTIONS_TO_RETRY
+# [S:scrapy/downloadermiddlewares/retry.py] — so 598 (the conventional
+# network-read-timeout code) joins the retryable set; a response whose
+# body exceeds DOWNLOAD_MAXSIZE is CANCELLED, not retried (deterministic
+# re-failure) [S:scrapy/core/downloader/handlers/http11.py maxsize], so
+# 413 is terminal. Neither is ever written to the HTTP cache: no
+# complete response was received.
+TIMEOUT_STATUS = 598
+MAXSIZE_STATUS = 413
+RETRYABLE_CODES = RETRY_CODES | {TIMEOUT_STATUS}
+
 # LinkExtractor IGNORED_EXTENSIONS (subset relevant to the fixture graph)
 # [S:scrapy/linkextractors/__init__.py::IGNORED_EXTENSIONS]
 IGNORED_EXT_RE = (
@@ -225,6 +238,27 @@ class CrawlConfig:
                                             # row. Index recursion falls out:
                                             # sub-sitemaps enqueue like links
                                             # and expand when fetched.
+    download_timeout_ms: float | None = None  # X16 (r4b) DOWNLOAD_TIMEOUT
+                                            # analogue [S:scrapy default_
+                                            # settings DOWNLOAD_TIMEOUT]:
+                                            # a network fetch whose fixture
+                                            # latency_ms exceeds this fails
+                                            # with TIMEOUT_STATUS (598,
+                                            # retryable) and observes
+                                            # latency == the timeout (what
+                                            # the client actually waited —
+                                            # feeds AutoThrottle/carry).
+                                            # Cache hits and revalidations
+                                            # are served locally and bypass
+                                            # it. None = off.
+    download_maxsize_bytes: int = 0         # X16 (r4b) DOWNLOAD_MAXSIZE
+                                            # analogue: a 200 network
+                                            # response whose body exceeds
+                                            # this many bytes is cancelled
+                                            # as MAXSIZE_STATUS (413,
+                                            # terminal — deterministic
+                                            # re-failure, never retried,
+                                            # never cached). 0 = off.
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

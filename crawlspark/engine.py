@@ -48,7 +48,10 @@ from pyspark.sql.types import (
 )
 
 from . import bloom, cuckoo
-from .config import IGNORED_EXT_RE, RETRY_CODES, CrawlConfig
+from .config import (
+    IGNORED_EXT_RE, MAXSIZE_STATUS, RETRY_CODES, RETRYABLE_CODES,
+    TIMEOUT_STATUS, CrawlConfig,
+)
 from .kernels.canon import make_udfs
 from .kernels.parse import parse_html
 from .kernels.robots import make_robots_udf
@@ -887,8 +890,38 @@ class CrawlEngine:
                              F.when(F.col("_cached") | F.col("_reval"),
                                     F.col("c_body"))
                              .otherwise(F.col("body_html")))
+                 # X16 (r4b) download limits, network fetches only (cache
+                 # hits/revalidations serve locally): timeout first (the
+                 # transport gives up before the body arrives — it also
+                 # caps the OBSERVED latency, which feeds AT/carry), then
+                 # the maxsize cancel on what would have been a 200
+                 .withColumn(
+                     "_net", ~F.col("_cached") & ~F.col("_reval"))
+                 .withColumn(
+                     "_timeout",
+                     F.col("_net")
+                     & (F.coalesce("latency_ms", F.lit(0.0))
+                        > F.lit(cfg.download_timeout_ms))
+                     if cfg.download_timeout_ms is not None
+                     else F.lit(False))
+                 .withColumn(
+                     "status",
+                     F.when(F.col("_timeout"), F.lit(TIMEOUT_STATUS))
+                     .when(F.col("_net") & (F.col("status") == 200)
+                           & (F.length(F.coalesce("body_html", F.lit("")))
+                              > F.lit(cfg.download_maxsize_bytes))
+                           if cfg.download_maxsize_bytes
+                           else F.lit(False), F.lit(MAXSIZE_STATUS))
+                     .otherwise(F.col("status")))
+                 .withColumn(
+                     "latency_ms",
+                     F.when(F.col("_timeout"),
+                            F.lit(cfg.download_timeout_ms))
+                     .otherwise(F.col("latency_ms"))
+                     if cfg.download_timeout_ms is not None
+                     else F.col("latency_ms"))
                  .withColumn("_retryable",
-                             F.col("status").isin(list(RETRY_CODES))
+                             F.col("status").isin(list(RETRYABLE_CODES))
                              & (F.col("retry_count") < cfg.retry_times))
                  .withColumn("_redirect",
                              F.col("status").between(300, 399)
@@ -1287,9 +1320,12 @@ class CrawlEngine:
                     for name, df, _ in writes}
             cache_fut = None
             if use_cache:
+                # X16: synthetic transport failures (timeout / maxsize
+                # cancel) received no complete response — never cached
                 to_cache = (batch.filter(
                     ~F.col("_cached")
-                    & ~F.col("status").isin(list(RETRY_CODES)))
+                    & ~F.col("status").isin(
+                        list(RETRYABLE_CODES) + [MAXSIZE_STATUS]))
                     .select("fingerprint", F.col("status").cast("int"),
                             "redirect_to", "body_html",
                             F.lit(self._cache_epoch).cast("int")

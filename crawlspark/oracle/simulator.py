@@ -47,7 +47,10 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from ..config import RETRY_CODES, IGNORED_EXT_RE, CrawlConfig
+from ..config import (
+    IGNORED_EXT_RE, MAXSIZE_STATUS, RETRY_CODES, RETRYABLE_CODES,
+    TIMEOUT_STATUS, CrawlConfig,
+)
 from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
 from ..kernels.parse import Form, is_sitemap, parse_page, parse_sitemap
 from ..kernels.robots import robots_allowed
@@ -328,6 +331,21 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     status = int(page.status)
                 lat_s = (float(page.latency_ms) / 1000.0) \
                     if page is not None else 0.0
+                # X16 (r4b) download limits — network fetches only (cache
+                # hits above bypass): timeout first (the transport gives
+                # up before the body arrives; the OBSERVED latency is the
+                # timeout itself — that is what feeds AT/carry), then the
+                # maxsize cancel on what would have been a 200
+                if cfg.download_timeout_ms is not None \
+                        and page is not None \
+                        and float(page.latency_ms) > cfg.download_timeout_ms:
+                    status = TIMEOUT_STATUS
+                    lat_s = cfg.download_timeout_ms / 1000.0
+                elif cfg.download_maxsize_bytes and status == 200 \
+                        and page is not None \
+                        and isinstance(page.body_html, str) \
+                        and len(page.body_html) > cfg.download_maxsize_bytes:
+                    status = MAXSIZE_STATUS
                 responses_per_host.setdefault(req.host, []) \
                     .append((lat_s, status))
                 # X12 r4 conditional revalidation: an expired entry with a
@@ -366,7 +384,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 body = cached_body if hit else (
                     page.body_html if page is not None else None)
             stream: list = []
-            if status in RETRY_CODES:
+            if status in RETRYABLE_CODES:
                 mc(req.host, "errors")
                 if req.retry_count < cfg.retry_times:
                     stream = [_RETRY]
@@ -411,7 +429,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     stream = [] if hdr_nf else hrefs + forms
             else:
                 mc(req.host, "errors")
-            if use_cache and not hit and status not in RETRY_CODES:
+            # X16: synthetic transport failures (timeout/maxsize cancel)
+            # received no complete response — never cached
+            if use_cache and not hit and status not in RETRYABLE_CODES \
+                    and status != MAXSIZE_STATUS:
                 # DummyPolicy: store every non-retryable response at the
                 # current epoch (re-caching an expired — or revalidated —
                 # entry refreshes it). Validators ride only on 200s
