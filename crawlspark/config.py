@@ -22,6 +22,11 @@ RETRY_CODES = frozenset({500, 502, 503, 504, 522, 524, 408, 429})
 TIMEOUT_STATUS = 598
 MAXSIZE_STATUS = 413
 RETRYABLE_CODES = RETRY_CODES | {TIMEOUT_STATUS}
+# X17 (r5): synthesized robots.txt requests outrank every regular request
+# in the global round order (Scrapy's robots request carries top priority —
+# nothing from the host can download before it). Regular priorities are
+# small ints (depth shaping / retry adjust), so 2^30 can never collide.
+ROBOTS_PRIORITY = 1 << 30
 
 # LinkExtractor IGNORED_EXTENSIONS (subset relevant to the fixture graph)
 # [S:scrapy/linkextractors/__init__.py::IGNORED_EXTENSIONS]
@@ -259,6 +264,36 @@ class CrawlConfig:
                                             # terminal — deterministic
                                             # re-failure, never retried,
                                             # never cached). 0 = off.
+    robots_fetch: bool = False              # X17 (r5) live robots.txt
+                                            # acquisition [S:scrapy/
+                                            # downloadermiddlewares/
+                                            # robotstxt.py]: robots.txt is
+                                            # itself downloaded through the
+                                            # scheduler — lazily per host, on
+                                            # first contact, consuming one
+                                            # politeness slot and a crawl_
+                                            # order rank. Until a host's
+                                            # robots has been fetched its
+                                            # regular requests stay pending;
+                                            # a non-200 (or synthetic 598/
+                                            # 413) robots response records
+                                            # allow-all (Scrapy's no-robots
+                                            # default) and is NOT retried.
+                                            # Sitemap: lines enqueue as
+                                            # discoveries (depth 1) when
+                                            # sitemaps_enabled; bootstrap
+                                            # skips robots-table sitemap
+                                            # seeding in this mode. Robots
+                                            # fetches bypass the HTTP cache
+                                            # (their freshness is governed
+                                            # by robots_ttl_rounds below).
+    robots_ttl_rounds: int = 0              # X17: re-fetch schedule — a
+                                            # robots entry fetched at round
+                                            # f is live while rnd - f < N;
+                                            # an expired host reverts to
+                                            # unknown (its requests wait one
+                                            # round while robots re-fetches).
+                                            # 0 = fetch once, never expires.
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

@@ -50,7 +50,7 @@ from pyspark.sql.types import (
 from . import bloom, cuckoo
 from .config import (
     IGNORED_EXT_RE, MAXSIZE_STATUS, RETRY_CODES, RETRYABLE_CODES,
-    TIMEOUT_STATUS, CrawlConfig,
+    ROBOTS_PRIORITY, TIMEOUT_STATUS, CrawlConfig,
 )
 from .kernels.canon import make_udfs
 from .kernels.parse import parse_html
@@ -148,6 +148,10 @@ CACHE_SCHEMA = StructType([
     # entries (null otherwise); an EXPIRED entry whose validator still
     # matches the live page revalidates ("304") instead of re-downloading
     StructField("validator", StringType()),
+    # X12 r5 (RFC2616Policy both-validators): If-Modified-Since analogue,
+    # consulted only when the entry carries no ETag — the strong
+    # validator wins, like a real server preferring If-None-Match
+    StructField("last_modified", StringType()),
 ])
 
 HOST_STATE_SCHEMA = StructType([
@@ -160,6 +164,18 @@ HOST_STATE_SCHEMA = StructType([
 ])
 
 SHARDS_SCHEMA = "shard int, bits binary"
+
+# X17 (r5) live robots.txt acquisition: one row per host whose robots.txt
+# has been fetched; TTL-pruned at read (robots_ttl_rounds). Full rewrite
+# per round — host cardinality, like host_state (an MOR delta split is the
+# same frontier_deltas pattern if it ever dominates at broad-crawl scale).
+ROBOTS_STATE_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("allow_prefixes", ArrayType(StringType())),
+    StructField("disallow_prefixes", ArrayType(StringType())),
+    StructField("robots_delay_s", DoubleType()),
+    StructField("fetched_round", IntegerType()),
+])
 
 # C1 frontier-delta mode: FRONTIER rows + event metadata; removals carry
 # null payloads (only the fingerprint matters for latest-event-wins)
@@ -255,6 +271,42 @@ def _extract_fn(passthrough: list[str], sitemaps_enabled: bool = True):
     return fn
 
 
+def _parse_robots_fn(passthrough: list[str], sitemaps_enabled: bool):
+    """X17 (r5) mapInPandas: parse fetched robots.txt bodies into rule
+    arrays + canonical Sitemap URLs [S:scrapy/downloadermiddlewares/
+    robotstxt.py::RobotsTxtMiddleware._parse_robots]. ANY non-200 status
+    (404, synthetic 598/413, redirect...) records allow-all — the Scrapy
+    no-robots default — with no retry and no redirect-follow. Runs over
+    at most one row per newly-contacted host per round (a second tiny
+    python stage that exists only in robots_fetch mode; the one-python-
+    stage-per-round invariant holds for the default path)."""
+    from .kernels.canon import absolutize, canonicalize_url
+    from .kernels.robots import parse_robots_txt
+
+    def fn(batches):
+        for pdf in batches:
+            alw_col, dis_col, dly_col, sm_col = [], [], [], []
+            for url, status, body in zip(pdf["url_canon"], pdf["status"],
+                                         pdf["body_html"]):
+                if status == 200 and isinstance(body, str) and body:
+                    alw, dis, dly, smaps = parse_robots_txt(body)
+                else:
+                    alw, dis, dly, smaps = [], [], None, []
+                alw_col.append(alw)
+                dis_col.append(dis)
+                dly_col.append(dly)
+                sm_col.append(
+                    [canonicalize_url(absolutize(url, u)) for u in smaps]
+                    if sitemaps_enabled else [])
+            out = pdf[passthrough].copy()
+            out["allow_prefixes"] = alw_col
+            out["disallow_prefixes"] = dis_col
+            out["robots_delay_s"] = dly_col
+            out["smap_canon"] = sm_col
+            yield out
+    return fn
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, fixture_dir: str, run_dir: str,
                  cfg: CrawlConfig, cache_dir: str | None = None):
@@ -276,25 +328,43 @@ class CrawlEngine:
             _c("latency_ms", "double"), _c("body_html", "string"),
             _c("set_cookie", "string"), _c("requires_cookie", "string"),
             _c("retry_after_s", "double"), _c("validator", "string"),
-            _c("x_robots", "string"))
+            _c("last_modified", "string"), _c("x_robots", "string"))
         # X7 fetch-join strategy: the fixture "network" table is broadcast
         # when it fits (kills a per-round shuffle of the dequeued batch); on
         # a real crawl X7 is an HTTP mapInPandas and this join disappears.
-        try:
-            pages_bytes = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(os.path.join(fx, "pages.parquet"))
-                for f in fs) if os.path.isdir(
-                    os.path.join(fx, "pages.parquet")) else \
-                os.path.getsize(os.path.join(fx, "pages.parquet"))
-        except OSError:
-            pages_bytes = 1 << 40
+        def _parquet_bytes(path: str) -> int:
+            try:
+                if os.path.isdir(path):
+                    return sum(os.path.getsize(os.path.join(r, f))
+                               for r, _, fs in os.walk(path) for f in fs)
+                return os.path.getsize(path)
+            except OSError:
+                return 1 << 40
+        pages_bytes = _parquet_bytes(os.path.join(fx, "pages.parquet"))
         self._pages_join = F.broadcast(self.pages) \
             if pages_bytes < 64 * 1024 * 1024 else self.pages
         self.robots = spark.read.parquet(os.path.join(fx, "robots.parquet")) \
             .withColumnRenamed("crawl_delay_s", "robots_delay_s")
         self.policy = spark.read.parquet(os.path.join(fx, "host_policy.parquet")) \
             .withColumnRenamed("crawl_delay_s", "policy_delay_s")
+        # J1/J2/F4 join strategy (r5, VERDICT r04 #1): every per-host table
+        # in the round-budget path (policy, robots, host_state, host_round)
+        # has host cardinality — modest at the hotel/restaurant design
+        # point, 10^7-10^8 at a broad 10^10 frontier, where a FORCED
+        # broadcast hint overrides Spark's size check and OOMs the
+        # executors (the same failure mode similarity.py's
+        # BROADCAST_EMB_MAX_ROWS guard closed in r4). Decide ONCE from the
+        # measured fixture bytes: robots (the widest per-host table — it
+        # carries the prefix arrays) + policy under 32 MB -> hint;
+        # otherwise leave all four joins to Catalyst/AQE as plain shuffled
+        # equi-joins on host. host_state/host_round cardinality tracks the
+        # same host set, so one decision governs all four sites.
+        host_bytes = (_parquet_bytes(os.path.join(fx, "robots.parquet"))
+                      + _parquet_bytes(os.path.join(fx,
+                                                    "host_policy.parquet")))
+        self._bcast_host = (F.broadcast
+                            if host_bytes < 32 * 1024 * 1024
+                            else (lambda df: df))
         self.seeds = spark.read.parquet(os.path.join(fx, "seeds.parquet"))
         # X12 HTTP-cache analogue: an EXTERNAL append-only parquet dir
         # shared across runs (the cache outlives any one run_dir); each
@@ -365,7 +435,10 @@ class CrawlEngine:
         # AFTER the explicit seed list, ordered (host asc, position) —
         # deterministic R1 extension mirrored by the oracle.
         n_extra = 0
-        if cfg.sitemaps_enabled and "sitemap_urls" in self.robots.columns:
+        # X17: in live-acquisition mode robots-declared sitemaps arrive
+        # with each host's robots.txt fetch, not at bootstrap
+        if cfg.sitemaps_enabled and not cfg.robots_fetch \
+                and "sitemap_urls" in self.robots.columns:
             # null cell = no declarations (mirror the oracle's None guard;
             # ADVICE r03 — posexplode below already skips null arrays)
             n_extra = int(sum(
@@ -408,6 +481,9 @@ class CrawlEngine:
         writes = [("frontier", frontier), ("seen", seen),
                   ("host_state", empty_hs), ("cookie_state", empty_ck),
                   ("seen_shards", shards)]
+        if cfg.robots_fetch:
+            writes.append(("robots_state", self.spark.createDataFrame(
+                [], ROBOTS_STATE_SCHEMA)))
         with ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futs = {n: pool.submit(self.store.write_round, df, n, 0)
                     for n, df in writes}
@@ -529,7 +605,17 @@ class CrawlEngine:
         committed counter (r4, ADVICE r03): one more than the largest
         epoch embedded in a published dir name — robust to dropped dirs
         anywhere but the tail (a kill between commit and rename within a
-        run is covered exactly by the committed counter)."""
+        run is covered exactly by the committed counter).
+
+        Pinned deviation (r5, ADVICE r04): cache dirs written BEFORE r4
+        were named r{snapshot_ver} while their entry epochs counted dirs,
+        so against a pre-r4 cache_dir this fallback (and the name-based
+        TTL dir pruning in _read_cache) can run ahead of the true entry
+        epochs and expire still-fresh entries early. Miss-direction only
+        — a full re-fetch, never stale content served. Pre-r4 caches are
+        therefore best cleared on upgrade; supporting them bit-exactly
+        would mean reading entry epochs out of every legacy dir on every
+        resume, which taxes the steady-state path for a one-time event."""
         best = -1
         for d in os.listdir(self.cache_dir):
             mm = re.match(r"^r(\d+)", d)
@@ -569,20 +655,27 @@ class CrawlEngine:
             df = self.spark.read.schema(CACHE_SCHEMA).parquet(*dirs)
         w = Window.partitionBy("fingerprint").orderBy(F.col("epoch").desc())
         df = (df.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn"))
+              .filter(F.col("_rn") == 1).drop("_rn")
+              # '' is not a validator (r5 ADVICE; write side normalizes
+              # too — this covers caches written before the fix)
+              .withColumn("validator", F.nullif("validator", F.lit("")))
+              .withColumn("last_modified",
+                          F.nullif("last_modified", F.lit(""))))
         fresh = F.lit(True) if ttl <= 0 else \
             (F.lit(cur) - F.col("epoch") <= ttl)
         df = df.withColumn("c_fresh", fresh)
         if ttl > 0:
             keep = F.col("c_fresh")
             if cfg.httpcache_revalidate:
-                keep = keep | F.col("validator").isNotNull()
+                keep = keep | F.col("validator").isNotNull() \
+                    | F.col("last_modified").isNotNull()
             df = df.filter(keep)
         return df.select("fingerprint",
                          F.col("status").alias("c_status"),
                          F.col("redirect_to").alias("c_redirect"),
                          F.col("body_html").alias("c_body"),
                          F.col("validator").alias("c_validator"),
+                         F.col("last_modified").alias("c_last_modified"),
                          "c_fresh")
 
     def _write_cache(self, df: DataFrame) -> tuple[str, str]:
@@ -634,7 +727,8 @@ class CrawlEngine:
         if ttl > 0:
             dead = F.lit(self._cache_epoch + 1) - F.col("epoch") > ttl
             if cfg.httpcache_revalidate:
-                dead = dead & F.col("validator").isNull()
+                dead = dead & F.col("validator").isNull() \
+                    & F.col("last_modified").isNull()
             latest = latest.filter(~dead)
         import shutil
         import uuid
@@ -718,9 +812,25 @@ class CrawlEngine:
                                      HOST_STATE_SCHEMA)
         cookie_state = self.store.read(spark, manifest, "cookie_state",
                                        COOKIE_SCHEMA)
+        # X17 (r5): live robots acquisition replaces the fixture robots
+        # table with the TTL-pruned fetched state for gating AND delays;
+        # hosts with no live entry are "unknown" and fetch robots.txt
+        # before anything else
+        if cfg.robots_fetch:
+            robots_state = self.store.read(spark, manifest, "robots_state",
+                                           ROBOTS_STATE_SCHEMA)
+            rb_ttl = cfg.robots_ttl_rounds
+            robots_live = (robots_state.filter(
+                F.col("fetched_round") > rnd - rb_ttl)
+                if rb_ttl > 0 else robots_state).cache()
+            robots_tbl = robots_live.select(
+                "host", "allow_prefixes", "disallow_prefixes",
+                "robots_delay_s")
+        else:
+            robots_tbl = self.robots
 
         # ---- P5 robots gating at dequeue (J2 broadcast join) -------------
-        fr = frontier.join(F.broadcast(self.robots), "host", "left")
+        fr = frontier.join(self._bcast_host(robots_tbl), "host", "left")
         fr = fr.withColumn(
             "_allowed",
             F.coalesce(
@@ -754,6 +864,41 @@ class CrawlEngine:
                       .drop("_hit"))
         else:
             elig_c = elig.withColumn("_cached", F.lit(False))
+        # X17: divert unknown-host rows out of the dequeue (they wait in
+        # the frontier) and synthesize ONE top-priority robots.txt request
+        # per such host, seq = the host's min pending seq (deterministic,
+        # globally unique). Known hosts dequeue normally.
+        if cfg.robots_fetch:
+            known = robots_live.select("host").withColumn("_rk",
+                                                          F.lit(True))
+            ec = elig_c.join(self._bcast_host(known), "host", "left")
+            rb_reqs = (
+                ec.filter(F.col("_rk").isNull())
+                .groupBy("host")
+                .agg(F.min("enqueue_seq").alias("enqueue_seq"))
+                .withColumn("url_canon",
+                            F.concat(F.lit("https://"), F.col("host"),
+                                     F.lit("/robots.txt")))
+                .withColumn("fingerprint",
+                            F.sha1(F.concat(F.lit("GET"),
+                                            F.col("url_canon"),
+                                            F.lit(""))))
+                .withColumn("priority", F.lit(ROBOTS_PRIORITY))
+                .withColumn("depth", F.lit(0))
+                .withColumn("retry_count", F.lit(0))
+                .withColumn("method", F.lit("GET"))
+                .withColumn("body", F.lit(""))
+                .withColumn("redirect_chain",
+                            F.array().cast("array<string>"))
+                .withColumn("_cached", F.lit(False))
+                .withColumn("_robots", F.lit(True))
+                .select(*[f.name for f in FRONTIER_SCHEMA], "_cached",
+                        "_robots"))
+            cand_src = (ec.filter(F.col("_rk").isNotNull()).drop("_rk")
+                        .withColumn("_robots", F.lit(False))
+                        .unionByName(rb_reqs))
+        else:
+            cand_src = elig_c.withColumn("_robots", F.lit(False))
         blocked_m = (fr.filter(~F.col("_allowed"))
                      .groupBy("host")
                      .agg(F.count("*").alias("robots_blocked")))
@@ -761,10 +906,11 @@ class CrawlEngine:
         # ---- F4 per-host politeness budget (J1 broadcast) -----------------
         host_round = (
             elig.groupBy("host").agg(F.count("*").alias("n_pending"))
-            .join(F.broadcast(self.policy), "host", "left")
-            .join(F.broadcast(self.robots.select("host", "robots_delay_s")),
+            .join(self._bcast_host(self.policy), "host", "left")
+            .join(self._bcast_host(robots_tbl.select("host",
+                                                     "robots_delay_s")),
                   "host", "left")
-            .join(F.broadcast(host_state), "host", "left")
+            .join(self._bcast_host(host_state), "host", "left")
             .withColumn("_d", F.greatest(F.coalesce("policy_delay_s", F.lit(0.0)),
                                          F.coalesce("robots_delay_s", F.lit(0.0))))
             .withColumn("delay_base", F.when(F.col("_d") > 0, F.col("_d"))
@@ -801,8 +947,9 @@ class CrawlEngine:
         # ---- F3 salted two-phase per-host priority dequeue (J6) -----------
         seq_order = F.col("enqueue_seq").desc() if cfg.lifo \
             else F.col("enqueue_seq").asc()
-        cand = (elig_c.join(F.broadcast(host_round.select("host", "budget", "salt_n")),
-                            "host")
+        cand = (cand_src.join(self._bcast_host(
+                                host_round.select("host", "budget",
+                                                  "salt_n")), "host")
                 .withColumn("_salt",
                             F.pmod(F.xxhash64("fingerprint"), F.col("salt_n"))))
         w1 = Window.partitionBy("host", "_salt") \
@@ -833,7 +980,7 @@ class CrawlEngine:
         sel = (ranked.withColumn("fetch_rank", F.row_number().over(w_rank))
                .filter(F.col("fetch_rank") <= cfg.round_cap)
                .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank",
-                       "_cached"))
+                       "_cached", "_robots"))
         if use_cache:
             # attach cached responses to the SELECTED batch only
             sel = sel.join(cache_df, "fingerprint", "left")
@@ -841,7 +988,9 @@ class CrawlEngine:
             sel = (sel.withColumn("c_status", F.lit(None).cast("int"))
                    .withColumn("c_redirect", F.lit(None).cast("string"))
                    .withColumn("c_body", F.lit(None).cast("string"))
-                   .withColumn("c_validator", F.lit(None).cast("string")))
+                   .withColumn("c_validator", F.lit(None).cast("string"))
+                   .withColumn("c_last_modified",
+                               F.lit(None).cast("string")))
 
         # ---- X7 fetch = join vs the pages fixture (the "network") ---------
         # X13: cookie availability at ROUND START (grants apply at round
@@ -851,7 +1000,7 @@ class CrawlEngine:
                   .withColumnRenamed("cookie", "requires_cookie")
                   .withColumn("_has_ck", F.lit(True)))
         batch = (sel.join(self._pages_join, "url_canon", "left")
-                 .join(F.broadcast(has_ck), ["host", "requires_cookie"],
+                 .join(self._bcast_host(has_ck), ["host", "requires_cookie"],
                        "left")
                  .withColumn(
                      "_net_status",
@@ -864,19 +1013,55 @@ class CrawlEngine:
                            & (F.col("retry_count") >= F.col("succeeds_after")),
                            F.lit(200))
                      .otherwise(F.coalesce(F.col("status"), F.lit(404))))
+                 # X16 (r4b) download limits, applied to ALL network rows
+                 # BEFORE the revalidation check (r5, ADVICE: the oracle
+                 # orders limits first, so a reval CANDIDATE whose transfer
+                 # times out / oversizes becomes a 598/413, never a cache
+                 # serve): timeout first (the transport gives up before the
+                 # body arrives — it also caps the OBSERVED latency, which
+                 # feeds AT/carry), then the maxsize cancel on what would
+                 # have been a 200. Both test the LIVE fixture columns
+                 # (latency_ms / body_html pre-substitution).
+                 .withColumn(
+                     "_timeout",
+                     ~F.col("_cached")
+                     & (F.coalesce("latency_ms", F.lit(0.0))
+                        > F.lit(cfg.download_timeout_ms))
+                     if cfg.download_timeout_ms is not None
+                     else F.lit(False))
+                 .withColumn(
+                     "_net_status",
+                     F.when(F.col("_timeout"), F.lit(TIMEOUT_STATUS))
+                     .when(~F.col("_cached") & (F.col("_net_status") == 200)
+                           & (F.length(F.coalesce("body_html", F.lit("")))
+                              > F.lit(cfg.download_maxsize_bytes))
+                           if cfg.download_maxsize_bytes
+                           else F.lit(False), F.lit(MAXSIZE_STATUS))
+                     .otherwise(F.col("_net_status")))
                  # X12 r4 conditional revalidation: an expired entry with a
                  # validator went over the network (budget-gated above);
-                 # an unchanged validator on a live 200 is the "304" —
-                 # serve the cached triple and refresh the epoch via the
-                 # normal to_cache write (it is NOT a _cached hit: it
-                 # consumes budget/carry and feeds AutoThrottle)
+                 # an unchanged validator on a live limit-adjusted 200 is
+                 # the "304" — serve the cached triple and refresh the
+                 # epoch via the normal to_cache write (it is NOT a _cached
+                 # hit: it consumes budget/carry and feeds AutoThrottle).
+                 # Empty-string validators are normalized to null (r5,
+                 # ADVICE: the oracle never treats '' as a validator).
+                 # r5 both-validators: a cached ETag decides alone; the
+                 # Last-Modified analogue is consulted only for entries
+                 # with no ETag (strong validator wins, RFC2616Policy).
                  .withColumn(
                      "_reval",
                      F.lit(cfg.httpcache_revalidate) & ~F.col("_cached")
-                     & F.col("c_validator").isNotNull()
                      & (F.col("_net_status") == 200)
-                     & F.col("validator").isNotNull()
-                     & (F.col("validator") == F.col("c_validator")))
+                     & F.when(
+                         F.col("c_validator").isNotNull(),
+                         F.nullif("validator", F.lit("")).isNotNull()
+                         & (F.col("validator") == F.col("c_validator")))
+                     .otherwise(
+                         F.col("c_last_modified").isNotNull()
+                         & F.nullif("last_modified", F.lit("")).isNotNull()
+                         & (F.col("last_modified")
+                            == F.col("c_last_modified"))))
                  .withColumn(
                      "status",
                      F.when(F.col("_cached") | F.col("_reval"),
@@ -890,29 +1075,6 @@ class CrawlEngine:
                              F.when(F.col("_cached") | F.col("_reval"),
                                     F.col("c_body"))
                              .otherwise(F.col("body_html")))
-                 # X16 (r4b) download limits, network fetches only (cache
-                 # hits/revalidations serve locally): timeout first (the
-                 # transport gives up before the body arrives — it also
-                 # caps the OBSERVED latency, which feeds AT/carry), then
-                 # the maxsize cancel on what would have been a 200
-                 .withColumn(
-                     "_net", ~F.col("_cached") & ~F.col("_reval"))
-                 .withColumn(
-                     "_timeout",
-                     F.col("_net")
-                     & (F.coalesce("latency_ms", F.lit(0.0))
-                        > F.lit(cfg.download_timeout_ms))
-                     if cfg.download_timeout_ms is not None
-                     else F.lit(False))
-                 .withColumn(
-                     "status",
-                     F.when(F.col("_timeout"), F.lit(TIMEOUT_STATUS))
-                     .when(F.col("_net") & (F.col("status") == 200)
-                           & (F.length(F.coalesce("body_html", F.lit("")))
-                              > F.lit(cfg.download_maxsize_bytes))
-                           if cfg.download_maxsize_bytes
-                           else F.lit(False), F.lit(MAXSIZE_STATUS))
-                     .otherwise(F.col("status")))
                  .withColumn(
                      "latency_ms",
                      F.when(F.col("_timeout"),
@@ -949,7 +1111,7 @@ class CrawlEngine:
                StructField("is_sitemap", BooleanType()),
                StructField("canonical_url", StringType()),
                StructField("noindex", BooleanType())])
-        extracted = (batch.filter(F.col("_ok"))
+        extracted = (batch.filter(F.col("_ok") & ~F.col("_robots"))
                      .select(*passthrough, "body_html", "x_robots")
                      .mapInPandas(
                          _extract_fn(passthrough, cfg.sitemaps_enabled),
@@ -965,6 +1127,23 @@ class CrawlEngine:
                              "canonical_url",
                              F.lit(rnd).cast("int").alias("round")))
 
+        # ---- X17 robots.txt parse (r5): rules + canonical Sitemap locs ----
+        if cfg.robots_fetch:
+            rb_parse_schema = StructType(
+                [f for f in batch.schema if f.name in passthrough]
+                + [StructField("allow_prefixes",
+                               ArrayType(StringType())),
+                   StructField("disallow_prefixes",
+                               ArrayType(StringType())),
+                   StructField("robots_delay_s", DoubleType()),
+                   StructField("smap_canon", ArrayType(StringType()))])
+            robots_parsed = (batch.filter(F.col("_robots"))
+                             .select(*passthrough, "status", "body_html")
+                             .mapInPandas(
+                                 _parse_robots_fn(passthrough,
+                                                  cfg.sitemaps_enabled),
+                                 rb_parse_schema)).cache()
+
         # ---- R2 stream construction: every raw candidate consumes a seq ----
         # stream elements are (raw, method, body) structs so one stream
         # carries links (GET), form submissions (POST, urlencoded body) and
@@ -973,13 +1152,15 @@ class CrawlEngine:
                      "retry_count", "method", "body", "redirect_chain",
                      "fetch_rank"]
         streams = (
-            batch.filter(F.col("_retryable")).select(
+            batch.filter(F.col("_retryable") & ~F.col("_robots")).select(
                 *base_cols,
                 F.array(F.struct(F.col("url_canon").alias("raw"),
                                  F.col("method").alias("m"),
                                  F.col("body").alias("b"))).alias("stream"),
                 F.lit("retry").alias("stream_kind"))
-            .unionByName(batch.filter(F.col("_redirect") & ~F.col("_retryable")).select(
+            .unionByName(batch.filter(F.col("_redirect")
+                                      & ~F.col("_retryable")
+                                      & ~F.col("_robots")).select(
                 *base_cols,
                 F.array(F.struct(F.col("redirect_to").alias("raw"),
                                  F.lit("GET").alias("m"),
@@ -995,7 +1176,18 @@ class CrawlEngine:
                            " struct(z.outforms_action AS raw, 'POST' AS m,"
                            " z.outforms_body AS b))")).alias("stream"),
                 F.lit("links").alias("stream_kind")))
-        ).withColumn("n", F.size("stream"))
+        )
+        if cfg.robots_fetch:
+            # X17: Sitemap: lines discovered by a robots fetch enqueue as
+            # plain links (depth parent+1, P1-P4 filtered, seen-deduped);
+            # seq assignment rides the same fetch_rank-ordered cumsum
+            streams = streams.unionByName(robots_parsed.select(
+                *base_cols,
+                F.expr("transform(smap_canon, x ->"
+                       " struct(x AS raw, 'GET' AS m, '' AS b))")
+                .alias("stream"),
+                F.lit("links").alias("stream_kind")))
+        streams = streams.withColumn("n", F.size("stream"))
         # offset cumsum over fetch order — bounded by round_cap rows
         w_off = Window.orderBy("fetch_rank") \
             .rowsBetween(Window.unboundedPreceding, -1)
@@ -1287,6 +1479,16 @@ class CrawlEngine:
             ("metrics", metrics.coalesce(1), False),
             ("lineage", lineage.coalesce(1), False),
         ]
+        if cfg.robots_fetch:
+            # X17: newest fetch wins per host (an expired entry is
+            # superseded by its re-fetch row)
+            rs_new = robots_parsed.select(
+                "host", "allow_prefixes", "disallow_prefixes",
+                "robots_delay_s",
+                F.lit(rnd).cast("int").alias("fetched_round"))
+            rs_next = robots_state.join(rs_new, "host", "left_anti") \
+                .unionByName(rs_new)
+            writes.append(("robots_state", rs_next.coalesce(1), True))
         is_cuckoo = cfg.seen_filter == "cuckoo"
         # cuckoo + TTL always takes the distributed merge: expiry deletions
         # join against the (cluster-resident) seen table, which must never
@@ -1323,7 +1525,7 @@ class CrawlEngine:
                 # X16: synthetic transport failures (timeout / maxsize
                 # cancel) received no complete response — never cached
                 to_cache = (batch.filter(
-                    ~F.col("_cached")
+                    ~F.col("_cached") & ~F.col("_robots")
                     & ~F.col("status").isin(
                         list(RETRYABLE_CODES) + [MAXSIZE_STATUS]))
                     .select("fingerprint", F.col("status").cast("int"),
@@ -1331,7 +1533,11 @@ class CrawlEngine:
                             F.lit(self._cache_epoch).cast("int")
                             .alias("epoch"),
                             F.when(F.col("status") == 200,
-                                   F.col("validator")).alias("validator")))
+                                   F.nullif("validator", F.lit("")))
+                            .alias("validator"),
+                            F.when(F.col("status") == 200,
+                                   F.nullif("last_modified", F.lit("")))
+                            .alias("last_modified")))
                 cache_fut = pool.submit(self._write_cache, to_cache)
             paths = {name: f.result() for name, f in futs.items()}
             cache_stage = cache_fut.result() if cache_fut is not None \
@@ -1347,6 +1553,17 @@ class CrawlEngine:
         sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \
             {k: 0 for k in METRIC_KEYS}
         fetched_total = sums["fetched"]
+        # X17: robots fetches hold ranks and metrics like any fetch but
+        # were never ENQUEUED — exclude them from the pending arithmetic
+        # (they'd drive it negative and the pending==0 stop would never
+        # fire). Count = this round's rows in the just-written state table
+        # (driver-side read of a host-cardinality parquet, no extra job).
+        n_rb_fetched = 0
+        if cfg.robots_fetch:
+            n_rb_fetched = int(
+                (pd.read_parquet(paths["robots_state"],
+                                 columns=["fetched_round"])["fetched_round"]
+                 == rnd).sum())
         # F6 item budget (r3): items = emitted document rows this round,
         # counted from the just-written parquet (no extra Spark job)
         n_items = len(pd.read_parquet(paths["documents"],
@@ -1359,7 +1576,8 @@ class CrawlEngine:
             # F6 r4 CLOSESPIDER_ERRORCOUNT: cumulative error responses
             "total_errors": st.get("total_errors", 0) + sums["errors"],
             "config": st["config"],
-            "pending": (st["pending"] - fetched_total - sums["robots_blocked"]
+            "pending": (st["pending"] - (fetched_total - n_rb_fetched)
+                        - sums["robots_blocked"]
                         + sums["retried"] + sums["enqueued"]),
         }
         if use_cache:
@@ -1570,14 +1788,17 @@ class CrawlEngine:
         return self.store.read(self.spark, manifest, "metrics", METRICS_SCHEMA)
 
     def export_feed(self, manifest: dict, out_path: str,
-                    fmt: str = "jsonlines", single_file: bool = True) -> None:
-        """O1 feed export (r4): write the crawl's documents as JSONLines or
-        CSV in crawl order — the `-o items.jl` surface
-        [S:scrapy/exporters.py]. See crawlspark.exporters."""
+                    fmt: str = "jsonlines", single_file: bool = True,
+                    fields: list[str] | None = None) -> None:
+        """O1 feed export (r4; r5 adds xml + FEED_EXPORT_FIELDS): write
+        the crawl's documents as JSONLines, CSV or XML in crawl order —
+        the `-o items.jl` surface [S:scrapy/exporters.py]. ``fields``
+        selects and orders the exported columns. See crawlspark.exporters."""
         from .exporters import documents_export_df, write_feed
         write_feed(documents_export_df(self.documents_df(manifest),
                                        self.crawl_order_df(manifest)),
-                   out_path, fmt=fmt, single_file=single_file)
+                   out_path, fmt=fmt, single_file=single_file,
+                   fields=fields)
 
     def seen_cardinality_df(self, manifest: dict) -> DataFrame:
         """A3 monitoring: HLL (rsd=2%) estimate of the seen-set size next

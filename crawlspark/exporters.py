@@ -40,31 +40,67 @@ def documents_export_df(documents: DataFrame,
     fingerprint, each with its own rank, and a seen-TTL re-crawl carries
     one document row per re-fetch). A doc_id fetched more than once
     exports one item per fetch, like a spider yielding an item per
-    response."""
+    response.
+
+    Pre-r4 snapshots persisted documents without the ``round`` column
+    (it reads back null); those rows fall back to a doc_id-only match
+    against the fingerprint's FIRST successful (200) fetch so a resumed
+    older run still exports every item instead of silently dropping the
+    legacy rows (r5, ADVICE r04)."""
     ranks = crawl_order.select(F.col("fingerprint").alias("doc_id"),
-                               "round", "rank")
-    return (documents.join(ranks, ["doc_id", "round"])
+                               "round", "rank", "status")
+    modern = (documents.filter(F.col("round").isNotNull())
+              .join(ranks.drop("status"), ["doc_id", "round"]))
+    legacy = documents.filter(F.col("round").isNull())
+    legacy = (legacy.join(
+        ranks.filter(F.col("status") == 200)
+        .groupBy("doc_id").agg(F.min("rank").alias("rank")), "doc_id"))
+    return (modern.unionByName(legacy, allowMissingColumns=True)
             .select("rank", "doc_id", "canonical_url", "spans"))
 
 
 def write_feed(export: DataFrame, out_path: str, fmt: str = "jsonlines",
-               single_file: bool = True) -> None:
-    if fmt not in ("jsonlines", "csv"):
+               single_file: bool = True,
+               fields: list[str] | None = None) -> None:
+    """``fields`` is the FEED_EXPORT_FIELDS analogue
+    [S:scrapy/exporters.py::BaseItemExporter._configure via
+    FEED_EXPORT_FIELDS]: an explicit subset AND order of exported
+    columns — the CSV header, JSON key order and XML element order all
+    follow it. ``rank`` is implicitly retained for ordering but only
+    exported if listed. ``xml`` (r5) uses Spark's native XML sink
+    (rootTag items / rowTag item, one element per exported field, spans
+    as nested <spans><kind/><text/>... elements in document order) —
+    the XmlItemExporter analogue [S:scrapy/exporters.py::
+    XmlItemExporter], same determinism contract as the other formats."""
+    if fmt not in ("jsonlines", "csv", "xml"):
         raise ValueError(f"unsupported feed format: {fmt!r}")
+    out_cols = list(fields) if fields is not None else _EXPORT_COLS
+    unknown = set(out_cols) - set(export.columns)
+    if unknown:
+        raise ValueError(f"unknown feed fields: {sorted(unknown)}")
     if fmt == "csv":
-        export = export.select(
-            "rank", "doc_id", "canonical_url",
-            F.to_json("spans").alias("spans_json"))
+        # CSV cannot carry nested arrays natively: spans serialize to one
+        # lossless JSON-string cell (multi-valued field joined
+        # serialization, as CsvItemExporter does)
+        export = export.withColumn("spans", F.to_json("spans"))
+    ordered = export.select(
+        *(out_cols if "rank" in out_cols else out_cols + ["rank"]))
     if single_file:
         # one partition, sorted inside it == a global order with no
         # reliance on post-sort coalesce order preservation
-        out = export.repartition(1).sortWithinPartitions("rank")
+        out = ordered.repartition(1).sortWithinPartitions("rank")
     else:
-        out = (export.repartitionByRange("rank")
+        out = (ordered.repartitionByRange("rank")
                .sortWithinPartitions("rank"))
+    if "rank" not in out_cols:
+        out = out.drop("rank")
     if fmt == "jsonlines":
         (out.write.mode("overwrite")
          .option("ignoreNullFields", "false").json(out_path))
+    elif fmt == "xml":
+        (out.write.mode("overwrite").format("xml")
+         .option("rootTag", "items").option("rowTag", "item")
+         .save(out_path))
     else:
         (out.write.mode("overwrite")
          .option("header", "true").option("escape", '"').csv(out_path))

@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..kernels.canon import canonicalize_url, fingerprint_hex
+from ..kernels.robots import render_robots_txt
 from ..kernels.parse import (
     Form, Span, media_ref_for, render_html, render_sitemap,
 )
@@ -79,6 +80,11 @@ PAGES_SCHEMA = pa.schema([
                                        # (r4b): golden for the no-document
                                        # rule; renders into the same meta
                                        # tag as meta_nofollow
+    ("last_modified", pa.string()),    # If-Modified-Since analogue (r5):
+                                       # weak validator, consulted on
+                                       # revalidation only when the cached
+                                       # entry has no ETag (default graphs
+                                       # carry BOTH, so the ETag decides)
 ])
 
 
@@ -311,7 +317,7 @@ def generate(n_pages: int = 300, seed: int = 42,
                      [] if no_follow_all else [f.body for f in forms],
                      nofollow, set_ck, req_ck, meta_nf, canon_raw,
                      retry_after, "W/" + fingerprint_hex(u)[:16], x_robots,
-                     meta_ni))
+                     meta_ni, "LM/" + fingerprint_hex(u)[16:28]))
 
     # --- form-action result pages (fetched via POST; simple, no outlinks);
     # keyed dedupe: pages differing only in query share an action URL
@@ -328,7 +334,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                          render_html(f"{row[1]}{action}", sp, [], []),
                          [s._asdict() for s in sp], [], [], [], [],
                          None, None, False, None, None,
-                         "W/" + fingerprint_hex(au)[:16], None, False)
+                         "W/" + fingerprint_hex(au)[:16], None, False,
+                         "LM/" + fingerprint_hex(au)[16:28])
     rows.extend(extra.values())
 
     # --- 301 chain of 25 DISTINCT hops on the first mega host: exercises
@@ -349,7 +356,8 @@ def generate(n_pages: int = 300, seed: int = 42,
                      render_html(f"{ch}/chain/{i}x", sp, [], []),
                      [s._asdict() for s in sp], [], [], [], [],
                      None, None, False, None, None,
-                     "W/" + fingerprint_hex(cu)[:16], None, False))
+                     "W/" + fingerprint_hex(cu)[:16], None, False,
+                     "LM/" + fingerprint_hex(cu)[16:28]))
 
     # --- sitemaps (F1 extension, r3): ~1/4 of hosts publish /sitemap.xml
     # listing a sample of the host's pages PLUS 1-3 ORPHAN pages reachable
@@ -371,7 +379,8 @@ def generate(n_pages: int = 300, seed: int = 42,
             return (u, h, path, status, None, None, lat, f"{h}{path}",
                     body, [s._asdict() for s in spans], outlinks,
                     [], [], [], None, None, False, None, None,
-                    "W/" + fingerprint_hex(u)[:16], None, False)
+                    "W/" + fingerprint_hex(u)[:16], None, False,
+                    "LM/" + fingerprint_hex(u)[16:28])
 
         sm_hosts = [h for h in hosts if srng.random() < 0.25]
         for idx, h in enumerate(sm_hosts):
@@ -407,8 +416,6 @@ def generate(n_pages: int = 300, seed: int = 42,
             else:
                 robots_sitemaps[h] = [sm_url]
 
-    pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
-
     # --- robots (Protego subset): disallow /private, allow /private/open
     rrows = []
     for h in hosts:
@@ -427,6 +434,24 @@ def generate(n_pages: int = 300, seed: int = 42,
     robots = pd.DataFrame(
         rrows, columns=["host", "allow_prefixes", "disallow_prefixes",
                         "crawl_delay_s", "sitemap_urls"])
+
+    # --- X17 (r5): every host with rules also serves /robots.txt as a
+    # PAGE whose body renders those same rules (live-acquisition mode
+    # fetches + parses it; the parsed result round-trips bit-identically
+    # to the table above). Inert outside robots_fetch mode: never seeded,
+    # never linked. NO rng draws here — fixture determinism is unchanged.
+    for h, alw, dis, delay, smaps in rrows:
+        ru = canonicalize_url(f"https://{h}/robots.txt")
+        rows.append((ru, h, "/robots.txt", 200, None, None,
+                     20.0 + (int(fingerprint_hex(ru)[:6], 16) % 2000) / 10.0,
+                     f"{h}/robots.txt",
+                     render_robots_txt(alw, dis, delay, smaps),
+                     [], [], [], [], [],
+                     None, None, False, None, None,
+                     "W/" + fingerprint_hex(ru)[:16], None, False,
+                     "LM/" + fingerprint_hex(ru)[16:28]))
+
+    pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 
     # --- host_policy: mega hosts get salt_n>1 (explicit skew handling J6)
     prows = []

@@ -44,16 +44,17 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from types import SimpleNamespace
 
 import pandas as pd
 
 from ..config import (
     IGNORED_EXT_RE, MAXSIZE_STATUS, RETRY_CODES, RETRYABLE_CODES,
-    TIMEOUT_STATUS, CrawlConfig,
+    ROBOTS_PRIORITY, TIMEOUT_STATUS, CrawlConfig,
 )
 from ..kernels.canon import absolutize, canonicalize_url, fingerprint_hex
 from ..kernels.parse import Form, is_sitemap, parse_page, parse_sitemap
-from ..kernels.robots import robots_allowed
+from ..kernels.robots import parse_robots_txt, robots_allowed
 from urllib.parse import urlsplit
 
 _RETRY = object()  # pseudo-link sentinel
@@ -98,7 +99,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
              reseed: tuple[int, list[tuple[str, bool]]] | None = None
              ) -> OracleResult:
     """``cache`` is the X12 HTTP-cache: {fingerprint: (status,
-    redirect_to, body_html, epoch, validator)} plus the bookkeeping key
+    redirect_to, body_html, epoch, validator, last_modified)} plus the
+    bookkeeping key
     ``"__epoch__"`` (the current cache epoch — one per caching round,
     mirroring the engine's one-published-dir-per-round). When
     cfg.http_cache is on, non-retryable responses are appended IN PLACE
@@ -115,7 +117,13 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     fetch, but if the live response would be 200 with an UNCHANGED
     ``validator`` the server "304"s: the cached body/redirect are served
     and the entry's epoch refreshes; a changed validator (or non-200) is
-    a full re-fetch + re-cache."""
+    a full re-fetch + re-cache. r5 (RFC2616Policy both-validators):
+    ``last_modified`` is the If-Modified-Since analogue — consulted ONLY
+    when the cached entry carries no ETag (the strong validator wins,
+    like a real server preferring If-None-Match), matching if the live
+    page's last_modified is unchanged. Download limits (X16) adjust the
+    live status BEFORE any validator check — a timed-out/oversized
+    conditional GET is a 598/413, never a cache serve."""
     pages = {
         r.url_canon: r for r in fixture["pages"].itertuples(index=False)
     }
@@ -125,6 +133,16 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     policy = {
         r.host: r for r in fixture["host_policy"].itertuples(index=False)
     }
+    # X17 (r5) live robots.txt acquisition: the fixture robots TABLE is
+    # ignored for gating/delays — rules come from fetching each host's
+    # /robots.txt page on first contact (one budget slot, a crawl_order
+    # rank) and PARSING the body. robots_view is the round-START snapshot
+    # of live entries (entries fetched this round apply from the next
+    # round — budgets/carry/AT are computed before the fetches, exactly
+    # like the engine's host_round join against the committed state).
+    robots_state: dict[str, SimpleNamespace] = {}
+    rb_ttl = cfg.robots_ttl_rounds
+    robots_view: dict = robots if not cfg.robots_fetch else {}
     ignored_ext = re.compile(IGNORED_EXT_RE)
     allow_re = re.compile(cfg.allow_re) if cfg.allow_re else None
     deny_re = re.compile(cfg.deny_re) if cfg.deny_re else None
@@ -154,7 +172,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
     def eff_delay(host: str) -> float:
         p = policy.get(host)
-        r = robots.get(host)
+        r = robots_view.get(host)
         d1 = float(p.crawl_delay_s) if p is not None and p.crawl_delay_s else 0.0
         d2 = float(r.crawl_delay_s) if r is not None and r.crawl_delay_s \
             and not pd.isna(r.crawl_delay_s) else 0.0
@@ -188,7 +206,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     # F7 r3: robots.txt `Sitemap:` declarations seed after the explicit
     # seed list, (host asc, position) order [S:scrapy/spiders/sitemap.py]
     rdf = fixture["robots"]
-    if cfg.sitemaps_enabled and "sitemap_urls" in rdf.columns:
+    # X17: in live-acquisition mode robots-declared sitemaps arrive with
+    # each host's robots.txt FETCH, not at bootstrap
+    if cfg.sitemaps_enabled and not cfg.robots_fetch \
+            and "sitemap_urls" in rdf.columns:
         for _, rrow in rdf.sort_values("host").iterrows():
             for u in (rrow["sitemap_urls"]
                       if rrow["sitemap_urls"] is not None else []):
@@ -236,10 +257,23 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 "filtered": 0, "robots_blocked": 0, "cached": 0})
             d[key] += n
 
-        # ---- robots gating at dequeue (P5) --------------------------------
+        # ---- robots gating at dequeue (P5 / X17) ---------------------------
+        if cfg.robots_fetch:
+            # round-START snapshot of live robots entries (TTL-pruned)
+            robots_view = {
+                h: e for h, e in robots_state.items()
+                if rb_ttl <= 0 or rnd - e.fetched_round < rb_ttl}
         eligible: list[_Req] = []
+        need_robots: dict[str, int] = {}   # X17: host -> min pending seq
         for req in list(pending.values()):
-            rb = robots.get(req.host)
+            if cfg.robots_fetch and req.host not in robots_view:
+                # first contact (or TTL-expired): the host fetches ONLY
+                # robots.txt this round; its requests wait in the frontier
+                prev = need_robots.get(req.host)
+                need_robots[req.host] = req.seq if prev is None \
+                    else min(prev, req.seq)
+                continue
+            rb = robots_view.get(req.host)
             path = urlsplit(req.url_canon).path or "/"
             if rb is not None and not robots_allowed(
                     path,
@@ -249,6 +283,17 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 mc(req.host, "robots_blocked")
                 continue
             eligible.append(req)
+        # X17: synthesize one robots.txt request per unknown host —
+        # top priority (nothing from the host may download before it),
+        # seq = the host's min pending seq (deterministic, unique across
+        # hosts since seqs are globally unique)
+        robots_fps: set[str] = set()
+        for rb_host, rb_seq in need_robots.items():
+            ru = f"https://{rb_host}/robots.txt"
+            rfp = fingerprint_hex(ru)
+            robots_fps.add(rfp)
+            eligible.append(_Req(rfp, ru, rb_host, ROBOTS_PRIORITY, 0,
+                                 rb_seq))
 
         # ---- F3/F4: per-host budget + ordering ----------------------------
         by_host: dict[str, list[_Req]] = {}
@@ -301,10 +346,14 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
 
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
         for req in fetch_list:
-            del pending[req.fingerprint]
+            is_rb = req.fingerprint in robots_fps   # X17 synthesized req
+            if not is_rb:
+                del pending[req.fingerprint]
             if seen_ttl > 0:
                 sr[req.fingerprint] = rnd   # fetch refreshes the seen entry
-            hit = cache_fresh(req.fingerprint)
+            # X17: robots fetches bypass the HTTP cache both directions
+            # (their freshness is governed by robots_ttl_rounds)
+            hit = (not is_rb) and cache_fresh(req.fingerprint)
             page = pages.get(req.url_canon)
             reval = False
             if hit:
@@ -353,13 +402,23 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 # + fed AT above, like any network fetch); a 200 whose
                 # validator is unchanged is the server's "304" — serve the
                 # cached triple and refresh the entry's epoch below
-                if cfg.httpcache_revalidate and use_cache \
+                if cfg.httpcache_revalidate and use_cache and not is_rb \
                         and req.fingerprint in cache and status == 200:
                     entry = cache[req.fingerprint]
                     pv = getattr(page, "validator", None) \
                         if page is not None else None
                     pv = pv if isinstance(pv, str) and pv else None
-                    reval = entry[4] is not None and pv == entry[4]
+                    if entry[4] is not None:
+                        # strong validator (ETag) present: it decides
+                        reval = pv == entry[4]
+                    else:
+                        # r5: If-Modified-Since fallback — weak validator
+                        # consulted only when the entry has no ETag
+                        plm = getattr(page, "last_modified", None) \
+                            if page is not None else None
+                        plm = plm if isinstance(plm, str) and plm else None
+                        c_lm = entry[5] if len(entry) > 5 else None
+                        reval = c_lm is not None and plm == c_lm
                 if status in (429, 503) and page is not None:
                     ra = getattr(page, "retry_after_s", None)
                     if ra is not None and not pd.isna(ra):
@@ -384,7 +443,32 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 body = cached_body if hit else (
                     page.body_html if page is not None else None)
             stream: list = []
-            if status in RETRYABLE_CODES:
+            if is_rb:
+                # X17: parse + record the host's rules (allow-all on ANY
+                # non-200, incl. synthetic 598/413 — the Scrapy no-robots
+                # default); never retried, never redirect-followed, no
+                # document. Sitemap: lines enqueue as plain discoveries
+                # (depth parent+1) when sitemaps are on. Metrics classify
+                # by the engine's batch indicators (ok / redirects /
+                # errors) even though nothing is followed.
+                if status == 200 and isinstance(body, str) and body:
+                    r_alw, r_dis, r_dly, r_smaps = parse_robots_txt(body)
+                else:
+                    r_alw, r_dis, r_dly, r_smaps = [], [], None, []
+                robots_state[req.host] = SimpleNamespace(
+                    allow_prefixes=r_alw, disallow_prefixes=r_dis,
+                    crawl_delay_s=r_dly, fetched_round=rnd)
+                stream = list(r_smaps) if cfg.sitemaps_enabled else []
+                retryable_resp = status in RETRYABLE_CODES
+                redirect_resp = 300 <= status < 400 \
+                    and isinstance(redirect_tgt, str) and redirect_tgt
+                if status == 200:
+                    mc(req.host, "ok")
+                elif redirect_resp and not retryable_resp:
+                    mc(req.host, "redirects")
+                else:
+                    mc(req.host, "errors")
+            elif status in RETRYABLE_CODES:
                 mc(req.host, "errors")
                 if req.retry_count < cfg.retry_times:
                     stream = [_RETRY]
@@ -431,7 +515,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 mc(req.host, "errors")
             # X16: synthetic transport failures (timeout/maxsize cancel)
             # received no complete response — never cached
-            if use_cache and not hit and status not in RETRYABLE_CODES \
+            if use_cache and not hit and not is_rb \
+                    and status not in RETRYABLE_CODES \
                     and status != MAXSIZE_STATUS:
                 # DummyPolicy: store every non-retryable response at the
                 # current epoch (re-caching an expired — or revalidated —
@@ -441,9 +526,13 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 pv = getattr(page, "validator", None) \
                     if page is not None else None
                 pv = pv if isinstance(pv, str) and pv else None
+                plm = getattr(page, "last_modified", None) \
+                    if page is not None else None
+                plm = plm if isinstance(plm, str) and plm else None
                 cache[req.fingerprint] = \
                     (status, redirect_tgt, body, cur_epoch,
-                     pv if status == 200 else None)
+                     pv if status == 200 else None,
+                     plm if status == 200 else None)
             if cfg.cookies_enabled and status == 200 and page is not None:
                 set_ck = getattr(page, "set_cookie", None)
                 if isinstance(set_ck, str) and set_ck:

@@ -242,9 +242,14 @@ def kmeans_centroids(en: DataFrame, nlist: int) -> DataFrame:
     (FAISS convention); the mean is two bounded shuffles over n x dim
     value rows. At 10^10 rows the same code trains on a seeded hash
     sample (md5 rule composes) and broadcasts the centroids."""
-    # session id in the key: a memoized DataFrame is bound to its
-    # SparkSession — never hand one out across sessions
-    key = (id(en.sparkSession),
+    # session token in the key: a memoized DataFrame is bound to its
+    # SparkSession — never hand one out across sessions. applicationId is
+    # stable for the session's lifetime and never recycled the way a
+    # CPython id() can be after the old session object is collected (r5,
+    # ADVICE r04). Single-writer assumption stands: rewriting the parquet
+    # at the SAME path within one session is not invalidated by the
+    # analyzed-plan string — regenerate fixtures under a new path.
+    key = (en.sparkSession.sparkContext.applicationId,
            en._jdf.queryExecution().analyzed().toString(), nlist)
     hit = _km_memo.pop(key, None)
     if hit is not None:

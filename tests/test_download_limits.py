@@ -156,3 +156,104 @@ def test_download_limits_never_cached(spark, tmp_path_factory):
                          glob.glob(f"{cache}/**/*.parquet",
                                    recursive=True)])
     assert not set(entries.status) & {TIMEOUT_STATUS, MAXSIZE_STATUS}
+
+
+def test_download_limits_apply_before_revalidation(spark,
+                                                   tmp_path_factory):
+    """X16 x X12 ordering (r5, ADVICE r04 high): download limits apply to
+    the NETWORK TRANSFER itself, so an expired-entry revalidation
+    candidate whose conditional GET times out (or whose live body
+    oversizes) becomes a retryable 598 / terminal 413 — never a cache
+    serve — exactly as the oracle orders it (simulator.py applies
+    timeout/maxsize to status before the validator check). Run A fills
+    the cache with validated 200s; run B expires everything (ttl=1) and
+    mutates the network so /slow times out and /big oversizes while
+    their validators stay unchanged; /fast revalidates normally.
+    Crawl order, documents and metrics are oracle-exact."""
+    fx = str(tmp_path_factory.mktemp("rvl_graph"))
+    pages = [
+        _page("/", hrefs=["/slow", "/big", "/fast"]),
+        _page("/slow", latency=20.0),
+        _page("/big", text="small"),
+        _page("/fast"),
+    ]
+    for p in pages:
+        p["validator"] = "W/" + p["url_canon"].rsplit("/", 1)[-1]
+    pdfs = {
+        "pages": pd.DataFrame(pages),
+        "seeds": pd.DataFrame({"seed_id": [0],
+                               "url": [f"https://{HOST}/"]}),
+        "robots": pd.DataFrame({
+            "host": [HOST], "allow_prefixes": [["/never"]],
+            "disallow_prefixes": [["/neverever"]],
+            "crawl_delay_s": [0.05]}),
+        "host_policy": pd.DataFrame({
+            "host": [HOST], "crawl_delay_s": [0.05],
+            "max_concurrency": [8], "salt_n": [1]}),
+    }
+    for name, df in pdfs.items():
+        df.to_parquet(f"{fx}/{name}.parquet", index=False)
+    cache = str(tmp_path_factory.mktemp("rvl_cache"))
+
+    cfg_a = CrawlConfig(allowed_domains=(HOST,), http_cache=True,
+                        httpcache_revalidate=True)
+    oracle_cache: dict = {}
+    simulate(pdfs, cfg_a, cache=oracle_cache)
+    eng_a = CrawlEngine(spark, fx,
+                        str(tmp_path_factory.mktemp("rvl_run_a")),
+                        cfg_a, cache_dir=cache)
+    man_a = eng_a.run()
+    docs_a = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_a.documents_df(man_a).toPandas().itertuples()}
+
+    # run B network: /slow now exceeds the timeout, /big the maxsize;
+    # validators UNCHANGED (the pre-fix engine would wrongly revalidate
+    # both); bodies blanked elsewhere so a cache serve is provable
+    pg = pdfs["pages"].copy()
+    pg.loc[pg.url_canon.str.endswith("/slow"), "latency_ms"] = 500.0
+    pg.loc[pg.url_canon.str.endswith("/big"), "body_html"] = "y" * 3000
+    fx_b = str(tmp_path_factory.mktemp("rvl_graph_b"))
+    pg.to_parquet(f"{fx_b}/pages.parquet", index=False)
+    for name in ("seeds", "robots", "host_policy"):
+        pdfs[name].to_parquet(f"{fx_b}/{name}.parquet", index=False)
+    pdfs_b = {**pdfs, "pages": pg}
+
+    cfg_b = CrawlConfig(allowed_domains=(HOST,), http_cache=True,
+                        httpcache_revalidate=True,
+                        httpcache_expiration_rounds=1,
+                        download_timeout_ms=150.0,
+                        download_maxsize_bytes=2000,
+                        autothrottle=True)
+    oracle_b = simulate(pdfs_b, cfg_b, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx_b,
+                        str(tmp_path_factory.mktemp("rvl_run_b")),
+                        cfg_b, cache_dir=cache)
+    man_b = eng_b.run()
+    got = (eng_b.crawl_order_df(man_b).orderBy("rank")
+           .toPandas()[ORDER_COLS].reset_index(drop=True))
+    want = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    slow = got[got.url_canon == f"https://{HOST}/slow"]
+    big = got[got.url_canon == f"https://{HOST}/big"]
+    fast = got[got.url_canon == f"https://{HOST}/fast"]
+    assert set(slow.status) == {TIMEOUT_STATUS}      # NOT a cache serve
+    assert len(slow) == cfg_b.retry_times + 1        # retried like a 5xx
+    assert set(big.status) == {MAXSIZE_STATUS} and len(big) == 1
+    assert set(fast.status) == {200}                 # normal revalidation
+    # the revalidated page served its ORIGINAL run-A spans; the limited
+    # pages produced no document at all in run B
+    docs_b = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_b.documents_df(man_b).toPandas().itertuples()}
+    fast_fp = fast.fingerprint.iloc[0]
+    assert docs_b[fast_fp] == docs_a[fast_fp]
+    assert not (set(slow.fingerprint) | set(big.fingerprint)) \
+        & set(docs_b)
+    # oracle metrics parity (errors/cached counters see the same world)
+    m = (eng_b.metrics_df(man_b).toPandas()
+         .groupby("host")[["fetched", "errors", "cached"]].sum())
+    om = pd.DataFrame(oracle_b.metrics).groupby("host")[
+        ["fetched", "errors", "cached"]].sum()
+    assert int(m.loc[HOST, "errors"]) == int(om.loc[HOST, "errors"])
+    assert int(m.loc[HOST, "cached"]) == int(om.loc[HOST, "cached"])

@@ -66,14 +66,15 @@ def test_csv_roundtrip_span_equality(exported):
     files = sorted(glob.glob(os.path.join(cs, "*.csv")))
     assert len(files) == 1
     pdf = pd.read_csv(files[0])
+    # r5: the CSV cell keeps the LOGICAL field name "spans" so
+    # FEED_EXPORT_FIELDS applies uniformly across formats
     assert list(pdf.columns) == ["rank", "doc_id", "canonical_url",
-                                 "spans_json"]
+                                 "spans"]
     assert len(pdf) == len(docs) > 0
     assert pdf["rank"].is_monotonic_increasing
     want = {r.doc_id: _span_tuples(r.spans) for r in docs.itertuples()}
     for r in pdf.itertuples():
-        spans = json.loads(r.spans_json) if isinstance(r.spans_json, str) \
-            else []
+        spans = json.loads(r.spans) if isinstance(r.spans, str) else []
         got = [(s.get("kind"), s.get("text"), s.get("media_ref"),
                 s.get("offset")) for s in spans]
         assert got == want[r.doc_id]
@@ -118,3 +119,74 @@ def test_unknown_format_raises(exported, spark):
     eng, manifest, *_ = exported
     with pytest.raises(ValueError, match="unsupported feed format"):
         eng.export_feed(manifest, "/tmp/never", fmt="xmlfeed")
+
+
+def test_xml_roundtrip_span_equality(exported, tmp_path_factory):
+    """O1 r5 (VERDICT r04 missing #3): XML feed — rootTag items / rowTag
+    item, spans as nested elements in document order, ranks ascending
+    down the file [S:scrapy/exporters.py::XmlItemExporter]."""
+    import xml.etree.ElementTree as ET
+    eng, manifest, _, _, docs, _ = exported
+    out = str(tmp_path_factory.mktemp("feed_xml"))
+    eng.export_feed(manifest, out, fmt="xml")
+    files = sorted(glob.glob(os.path.join(out, "*.xml")))
+    assert len(files) == 1
+    root = ET.parse(files[0]).getroot()
+    assert root.tag == "items"
+    items = root.findall("item")
+    assert len(items) == len(docs) > 0
+    ranks = [int(it.findtext("rank")) for it in items]
+    assert ranks == sorted(ranks) and len(set(ranks)) == len(ranks)
+    want = {r.doc_id: _span_tuples(r.spans) for r in docs.itertuples()}
+    for it in items:
+        got = [(s.findtext("kind"), s.findtext("text"),
+                s.findtext("media_ref"),
+                int(s.findtext("offset")) if s.findtext("offset")
+                is not None else None)
+               for s in it.findall("spans")]
+        assert got == want[it.findtext("doc_id")]
+
+
+def test_feed_export_fields_selection(exported, tmp_path_factory):
+    """FEED_EXPORT_FIELDS analogue (r5): explicit subset + order of the
+    exported columns, honored by every format; unknown fields raise."""
+    eng, manifest, _, _, docs, _ = exported
+    out = str(tmp_path_factory.mktemp("feed_fields"))
+    cs = os.path.join(out, "items_csv")
+    eng.export_feed(manifest, cs, fmt="csv",
+                    fields=["doc_id", "rank"])       # reordered subset
+    files = sorted(glob.glob(os.path.join(cs, "*.csv")))
+    pdf = pd.read_csv(files[0])
+    assert list(pdf.columns) == ["doc_id", "rank"]   # exact order
+    assert pdf["rank"].is_monotonic_increasing       # order still rank
+    assert len(pdf) == len(docs)
+    # rank not listed -> still used for ordering, not exported
+    jl = os.path.join(out, "items_jl")
+    eng.export_feed(manifest, jl, fmt="jsonlines", fields=["doc_id"])
+    lines = _read_lines(jl, "json")
+    assert all(set(json.loads(ln)) == {"doc_id"} for ln in lines)
+    assert len(lines) == len(docs)
+    with pytest.raises(ValueError, match="unknown feed fields"):
+        eng.export_feed(manifest, os.path.join(out, "bad"),
+                        fields=["doc_id", "nope"])
+
+
+def test_legacy_null_round_documents_still_export(exported, spark):
+    """Pre-r4 snapshots persisted documents without the round column
+    (null on read-back); those rows fall back to a doc_id-only join
+    against the fingerprint's first successful fetch instead of being
+    dropped (r5, ADVICE r04)."""
+    from pyspark.sql import functions as F
+    from crawlspark.exporters import documents_export_df
+    eng, manifest, _, _, docs, order = exported
+    legacy_docs = (eng.documents_df(manifest)
+                   .withColumn("round", F.lit(None).cast("int")))
+    export = documents_export_df(legacy_docs,
+                                 eng.crawl_order_df(manifest)).toPandas()
+    assert len(export) == len(docs) > 0              # nothing dropped
+    ok_rank = {r.fingerprint: r.rank for r in
+               order[order.status == 200]
+               .sort_values("rank").drop_duplicates("fingerprint")
+               .itertuples()}
+    for r in export.itertuples():
+        assert r.rank == ok_rank[r.doc_id]

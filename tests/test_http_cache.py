@@ -352,3 +352,109 @@ def test_cache_ttl_expired_entries_refetch(spark, tmp_path_factory):
     m = eng_b.metrics_df(man_b).toPandas()
     hits, fetched = int(m.cached.sum()), int(m.fetched.sum())
     assert 0 < hits < fetched, (hits, fetched)   # mixed hits + re-fetches
+
+
+def test_cache_revalidation_last_modified_oracle_exact(spark,
+                                                       tmp_path_factory):
+    """X12 r5 (RFC2616Policy both-validators): Last-Modified is the weak
+    If-Modified-Since analogue, consulted only when the cached entry has
+    no ETag. A hand-built one-host graph with three page classes:
+
+    * /lm-keep, /lm-flip: NO ETag, only last_modified — run B (ttl=1,
+      bodies blanked) must revalidate /lm-keep (original run-A spans
+      served) and fully re-fetch /lm-flip (lm changed -> blank body).
+    * /etag-wins: BOTH validators; run B changes the ETag but keeps
+      last_modified — the strong validator decides, so it must RE-FETCH
+      (a weak-validator-first engine would wrongly serve the cache).
+
+    Crawl order is oracle-exact for both runs."""
+    from crawlspark.kernels.parse import Span, render_html
+
+    HOST = "d.test"
+
+    def _page(path, hrefs=()):
+        sp = [Span("text", f"page {path}", None, 0)]
+        return {
+            "url_canon": f"https://{HOST}{path}" if path != "/"
+            else f"https://{HOST}/",
+            "status": 200, "redirect_to": None, "succeeds_after": None,
+            "latency_ms": 10.0,
+            "body_html": render_html(path, sp, list(hrefs), []),
+            "retry_after_s": None,
+        }
+
+    fx = str(tmp_path_factory.mktemp("lm_graph"))
+    pages = [
+        _page("/", hrefs=["/lm-keep", "/lm-flip", "/etag-wins"]),
+        _page("/lm-keep"),
+        _page("/lm-flip"),
+        _page("/etag-wins"),
+    ]
+    for p in pages:
+        leaf = p["url_canon"].rsplit("/", 1)[-1]
+        p["validator"] = ("W/" + leaf) if leaf in ("etag-wins", "") else None
+        p["last_modified"] = "LM/" + (leaf or "root")
+    pdfs = {
+        "pages": pd.DataFrame(pages),
+        "seeds": pd.DataFrame({"seed_id": [0],
+                               "url": [f"https://{HOST}/"]}),
+        "robots": pd.DataFrame({
+            "host": [HOST], "allow_prefixes": [["/never"]],
+            "disallow_prefixes": [["/neverever"]],
+            "crawl_delay_s": [0.05]}),
+        "host_policy": pd.DataFrame({
+            "host": [HOST], "crawl_delay_s": [0.05],
+            "max_concurrency": [8], "salt_n": [1]}),
+    }
+    for name, df in pdfs.items():
+        df.to_parquet(f"{fx}/{name}.parquet", index=False)
+    cache_dir = str(tmp_path_factory.mktemp("lm_cache"))
+
+    cfg_a = CrawlConfig(allowed_domains=(HOST,), http_cache=True,
+                        httpcache_revalidate=True)
+    oracle_cache: dict = {}
+    simulate(pdfs, cfg_a, cache=oracle_cache)
+    eng_a = CrawlEngine(spark, fx, str(tmp_path_factory.mktemp("lm_run_a")),
+                        cfg_a, cache_dir=cache_dir)
+    man_a = eng_a.run()
+    docs_a = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_a.documents_df(man_a).toPandas().itertuples()}
+
+    pg = pdfs["pages"].copy()
+    pg["body_html"] = ""                      # cache serves are provable
+    flip = pg.url_canon.str.endswith("/lm-flip")
+    pg.loc[flip, "last_modified"] = "LM/changed"
+    ew = pg.url_canon.str.endswith("/etag-wins")
+    pg.loc[ew, "validator"] = "W/changed"     # lm stays — ETag must win
+    fx_b = str(tmp_path_factory.mktemp("lm_graph_b"))
+    pg.to_parquet(f"{fx_b}/pages.parquet", index=False)
+    for name in ("seeds", "robots", "host_policy"):
+        pdfs[name].to_parquet(f"{fx_b}/{name}.parquet", index=False)
+    pdfs_b = {**pdfs, "pages": pg}
+
+    cfg_b = CrawlConfig(allowed_domains=(HOST,), http_cache=True,
+                        httpcache_revalidate=True,
+                        httpcache_expiration_rounds=1)
+    oracle_b = simulate(pdfs_b, cfg_b, cache=oracle_cache)
+    eng_b = CrawlEngine(spark, fx_b,
+                        str(tmp_path_factory.mktemp("lm_run_b")),
+                        cfg_b, cache_dir=cache_dir)
+    man_b = eng_b.run()
+    got = _order(eng_b, man_b)
+    want = pd.DataFrame(oracle_b.crawl_order)[ORDER_COLS] \
+        .astype(got.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    url2fp = {o["url_canon"]: o["fingerprint"]
+              for o in oracle_b.crawl_order}
+    docs_b = {r.doc_id: [tuple(s) for s in r.spans] for r in
+              eng_b.documents_df(man_b).toPandas().itertuples()}
+    keep_fp = url2fp[f"https://{HOST}/lm-keep"]
+    flip_fp = url2fp[f"https://{HOST}/lm-flip"]
+    ew_fp = url2fp[f"https://{HOST}/etag-wins"]
+    # lm unchanged + no ETag -> revalidated, ORIGINAL spans
+    assert docs_b[keep_fp] == docs_a[keep_fp] and docs_a[keep_fp]
+    # lm changed -> full re-fetch of the blank body
+    assert docs_b[flip_fp] != docs_a[flip_fp]
+    # ETag changed (lm unchanged) -> strong validator wins: re-fetch
+    assert docs_b[ew_fp] != docs_a[ew_fp]
