@@ -138,7 +138,7 @@ class CrawlConfig:
                                             # feed AutoThrottle (they skip the
                                             # download slot). Requires a
                                             # cache_dir on the engine.
-    frontier_deltas: bool = False           # C1 frontier storage mode:
+    frontier_deltas: bool | str = "auto"    # C1 frontier storage mode:
                                             # False = full rewrite per round
                                             # (simple; write cost O(frontier)
                                             # per round). True = merge-on-read
@@ -149,10 +149,27 @@ class CrawlConfig:
                                             # fingerprint; a full base is
                                             # compacted every
                                             # frontier_compact_every rounds.
-                                            # At the 10^10 design point the
-                                            # delta mode is mandatory —
-                                            # rewriting a 10-TB frontier per
-                                            # round is not.
+                                            # "auto" (default, r5 — VERDICT
+                                            # r04 #6): per round, delta mode
+                                            # iff the round-START pending
+                                            # count exceeds frontier_deltas_
+                                            # auto_rows — small crawls keep
+                                            # the simple full-rewrite plan,
+                                            # big ones get the O(round)
+                                            # write path without opting in;
+                                            # a shrinking tail downshifts
+                                            # back (the full write doubles
+                                            # as compaction). At the 10^10
+                                            # design point the delta mode is
+                                            # mandatory — rewriting a 10-TB
+                                            # frontier per round is not.
+    frontier_deltas_auto_rows: int = 200_000  # auto-mode upshift threshold,
+                                            # inside the MEASURED full-
+                                            # rewrite/MOR crossover bracket
+                                            # (r4 amortization tiers,
+                                            # BENCH/BASELINE.md: full-
+                                            # rewrite still won at 100k
+                                            # pages, MOR won at 300k)
     frontier_compact_every: int = 8         # delta-mode compaction cadence
     httpcache_expiration_rounds: int = 0    # X12 TTL (r3)
                                             # [S:scrapy/extensions/httpcache
@@ -294,6 +311,31 @@ class CrawlConfig:
                                             # unknown (its requests wait one
                                             # round while robots re-fetches).
                                             # 0 = fetch once, never expires.
+    concurrent_requests_per_ip: int = 0     # X18 (r5) CONCURRENT_REQUESTS_
+                                            # PER_IP analogue [S:scrapy/core/
+                                            # downloader/__init__.py::
+                                            # Downloader._get_slot_key]:
+                                            # 0 = off (politeness slots key
+                                            # per host, the PER_DOMAIN
+                                            # default). N>0: the slot keys on
+                                            # the host's IP — host_policy.ip
+                                            # is the sandbox "resolver" (no
+                                            # DNS here); hosts with no ip
+                                            # fall back to their own name —
+                                            # so co-hosted sites share ONE
+                                            # budget/carry/AutoThrottle/
+                                            # Retry-After slot. The slot's
+                                            # concurrency cap is N (per-host
+                                            # max_concurrency is ignored,
+                                            # exactly as Scrapy's PER_IP
+                                            # overrides PER_DOMAIN) and its
+                                            # crawl delay each round is the
+                                            # max of the member hosts'
+                                            # base delays present in that
+                                            # round. Run-start config: slot
+                                            # keys persist in host_state, so
+                                            # flipping it mid-resume is
+                                            # undefined (like seen_filter).
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

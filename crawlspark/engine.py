@@ -365,6 +365,21 @@ class CrawlEngine:
         self._bcast_host = (F.broadcast
                             if host_bytes < 32 * 1024 * 1024
                             else (lambda df: df))
+        # X18 (r5) CONCURRENT_REQUESTS_PER_IP [S:scrapy/core/downloader/
+        # __init__.py::Downloader._get_slot_key]: politeness slots key on
+        # the host's fixture IP when set (host_policy.ip is the resolver —
+        # no DNS in-sandbox), so co-hosted sites share one budget/carry/
+        # AutoThrottle/Retry-After slot. Off (0, default): slot == host and
+        # run_round skips the extra slot-map join and regroup entirely —
+        # the r4 plan is byte-identical.
+        self._per_ip = int(cfg.concurrent_requests_per_ip or 0)
+        if self._per_ip and "ip" not in self.policy.columns:
+            raise ValueError(
+                "concurrent_requests_per_ip requires an 'ip' column on "
+                "host_policy (the fixture is the resolver)")
+        self._slot_map = (self.policy
+                          .select("host", F.col("ip").alias("_ip_slot"))
+                          if self._per_ip else None)
         self.seeds = spark.read.parquet(os.path.join(fx, "seeds.parquet"))
         # X12 HTTP-cache analogue: an EXTERNAL append-only parquet dir
         # shared across runs (the cache outlives any one run_dir); each
@@ -584,8 +599,9 @@ class CrawlEngine:
         DataFrame the round already computed)."""
         spark, cfg = self.spark, self.cfg
         base = self.store.read(spark, manifest, "frontier", FRONTIER_SCHEMA)
-        if not cfg.frontier_deltas:
-            return base
+        # mode-independent: resolve whatever the manifest carries ("auto"
+        # may have written deltas in earlier rounds even if the mode has
+        # since downshifted — the manifest, not the config, is the truth)
         dpaths = (manifest or {}).get("tables", {}).get("frontier_delta", [])
         if not dpaths:
             return base
@@ -903,18 +919,40 @@ class CrawlEngine:
                      .groupBy("host")
                      .agg(F.count("*").alias("robots_blocked")))
 
-        # ---- F4 per-host politeness budget (J1 broadcast) -----------------
-        host_round = (
+        # ---- F4 per-slot politeness budget (J1 broadcast) ------------------
+        # slot == host unless X18 per-IP keying is on (see __init__): the
+        # per-host delay inputs (policy + live robots) join first; per-IP
+        # mode then pools hosts into their IP slot — delay = max member
+        # base delay this round, concurrency = the per-IP cap, and budget/
+        # carry/AT/RA state keys on the slot (stored in host_state's host
+        # column). The oracle mirrors this slot formulation exactly.
+        per_host = (
             elig.groupBy("host").agg(F.count("*").alias("n_pending"))
             .join(self._bcast_host(self.policy), "host", "left")
             .join(self._bcast_host(robots_tbl.select("host",
                                                      "robots_delay_s")),
                   "host", "left")
-            .join(self._bcast_host(host_state), "host", "left")
             .withColumn("_d", F.greatest(F.coalesce("policy_delay_s", F.lit(0.0)),
                                          F.coalesce("robots_delay_s", F.lit(0.0))))
             .withColumn("delay_base", F.when(F.col("_d") > 0, F.col("_d"))
-                        .otherwise(F.lit(cfg.default_crawl_delay_s)))
+                        .otherwise(F.lit(cfg.default_crawl_delay_s))))
+        if self._per_ip:
+            per_host = (per_host
+                        .withColumn("slot", F.coalesce("ip", "host"))
+                        .groupBy("slot")
+                        .agg(F.sum("n_pending").alias("n_pending"),
+                             F.max("delay_base").alias("delay_base"),
+                             F.max("salt_n").alias("salt_n")))
+            conc_col = F.lit(self._per_ip)
+        else:
+            per_host = per_host.withColumn("slot", F.col("host"))
+            conc_col = F.coalesce(F.col("max_concurrency"),
+                                  F.lit(cfg.default_max_concurrency))
+        host_round = (
+            per_host
+            .join(self._bcast_host(host_state.withColumnRenamed("host",
+                                                                "slot")),
+                  "slot", "left")
             # A5 AutoThrottle (opt-in): round delay = clamped adaptive state
             .withColumn("at_state",
                         F.coalesce("at_delay_s", F.lit(cfg.at_start_delay_s))
@@ -930,8 +968,7 @@ class CrawlEngine:
                         F.greatest("delay_eff",
                                    F.coalesce("retry_after_s", F.lit(0.0)))
                         if cfg.honor_retry_after else F.col("delay_eff"))
-            .withColumn("conc", F.coalesce(F.col("max_concurrency"),
-                                           F.lit(cfg.default_max_concurrency)))
+            .withColumn("conc", conc_col)
             .withColumn("avail", F.coalesce("carry_s", F.lit(0.0))
                         + F.lit(cfg.round_wall_s))
             .withColumn("budget",
@@ -940,21 +977,30 @@ class CrawlEngine:
                                            F.floor(F.col("avail") / F.col("delay_eff"))))
                         .cast("int"))
             .withColumn("salt_n", F.coalesce(F.col("salt_n"), F.lit(1)))
-            .select("host", "n_pending", "delay_base", "at_state", "delay_eff",
+            .select("slot", "n_pending", "delay_base", "at_state", "delay_eff",
                     "avail", "budget", "salt_n")
         ).cache()
 
-        # ---- F3 salted two-phase per-host priority dequeue (J6) -----------
+        # ---- F3 salted two-phase per-slot priority dequeue (J6) -----------
         seq_order = F.col("enqueue_seq").desc() if cfg.lifo \
             else F.col("enqueue_seq").asc()
-        cand = (cand_src.join(self._bcast_host(
-                                host_round.select("host", "budget",
-                                                  "salt_n")), "host")
+        if self._per_ip:
+            cand_slotted = (cand_src
+                            .join(self._bcast_host(self._slot_map),
+                                  "host", "left")
+                            .withColumn("slot",
+                                        F.coalesce("_ip_slot", "host"))
+                            .drop("_ip_slot"))
+        else:
+            cand_slotted = cand_src.withColumn("slot", F.col("host"))
+        cand = (cand_slotted.join(self._bcast_host(
+                                host_round.select("slot", "budget",
+                                                  "salt_n")), "slot")
                 .withColumn("_salt",
                             F.pmod(F.xxhash64("fingerprint"), F.col("salt_n"))))
-        w1 = Window.partitionBy("host", "_salt") \
+        w1 = Window.partitionBy("slot", "_salt") \
             .orderBy(F.col("priority").desc(), seq_order)
-        w2 = Window.partitionBy("host").orderBy(F.col("priority").desc(), seq_order)
+        w2 = Window.partitionBy("slot").orderBy(F.col("priority").desc(), seq_order)
         if use_cache:
             # budget gates only network-bound rows; cache hits all ship,
             # re-ranked into the host's R4 order alongside the survivors
@@ -979,8 +1025,8 @@ class CrawlEngine:
                                 F.col("enqueue_seq").asc())
         sel = (ranked.withColumn("fetch_rank", F.row_number().over(w_rank))
                .filter(F.col("fetch_rank") <= cfg.round_cap)
-               .select(*[f.name for f in FRONTIER_SCHEMA], "fetch_rank",
-                       "_cached", "_robots"))
+               .select(*[f.name for f in FRONTIER_SCHEMA], "slot",
+                       "fetch_rank", "_cached", "_robots"))
         if use_cache:
             # attach cached responses to the SELECTED batch only
             sel = sel.join(cache_df, "fingerprint", "left")
@@ -1319,14 +1365,15 @@ class CrawlEngine:
             "seen_round", F.lit(rnd).cast("int"))
 
         # ---- politeness carry update (shared arithmetic w/ oracle) ---------
-        fetched_by_host = batch.filter(~F.col("_cached")).groupBy("host").agg(
+        # keyed by slot (== host unless X18 per-IP pooling is on)
+        fetched_by_slot = batch.filter(~F.col("_cached")).groupBy("slot").agg(
             F.count("*").alias("fetched_n"),
             F.array_sort(F.collect_list(F.struct(
                 F.col("fetch_rank"),
                 (F.coalesce("latency_ms", F.lit(0.0)) / F.lit(1000.0))
                 .alias("lat"),
                 F.col("status").alias("st")))).alias("resp"))
-        carry_new = (host_round.join(fetched_by_host, "host", "left")
+        carry_new = (host_round.join(fetched_by_slot, "slot", "left")
                      .withColumn(
                          "carry_s",
                          F.greatest(F.lit(0.0), F.least(
@@ -1358,13 +1405,15 @@ class CrawlEngine:
         ra_sig = (batch.filter(~F.col("_cached")
                                & F.col("status").isin(429, 503)
                                & F.col("retry_after_s").isNotNull())
-                  .groupBy("host")
+                  .groupBy("slot")
                   .agg(F.max("retry_after_s").alias("_ra_new")))
-        carry_new = (carry_new.join(ra_sig, "host", "left")
-                     .select("host", "carry_s", "at_delay_s",
+        carry_new = (carry_new.join(ra_sig, "slot", "left")
+                     .select(F.col("slot").alias("host"), "carry_s",
+                             "at_delay_s",
                              F.col("_ra_new").alias("retry_after_s")))
-        host_state_next = host_state.join(host_round, "host", "left_anti") \
-            .unionByName(carry_new)
+        host_state_next = host_state.join(
+            host_round.select(F.col("slot").alias("host")),
+            "host", "left_anti").unionByName(carry_new)
 
         # X13 cookie grants from this round's 200s, effective next round
         if cfg.cookies_enabled:
@@ -1447,10 +1496,16 @@ class CrawlEngine:
         tables = {k: list(v) for k, v in manifest["tables"].items()}
         ver = rnd + 1
         # C1 frontier persistence: full rewrite, or (delta mode) O(round)
-        # add/remove events with periodic base compaction
-        compacting = (not cfg.frontier_deltas) or \
+        # add/remove events with periodic base compaction. "auto" (r5):
+        # delta mode engages per round when the round-START pending count
+        # exceeds the measured full-rewrite/MOR crossover; a shrinking
+        # tail downshifts and the full rewrite doubles as compaction.
+        deltas_on = (cfg.frontier_deltas is True) or \
+            (cfg.frontier_deltas == "auto"
+             and st.get("pending", 0) > cfg.frontier_deltas_auto_rows)
+        compacting = (not deltas_on) or \
             (rnd % cfg.frontier_compact_every == 0)
-        if cfg.frontier_deltas and not compacting:
+        if deltas_on and not compacting:
             _null = lambda f: F.lit(None).cast(f.dataType).alias(f.name)  # noqa: E731
             removals = (sel.select("fingerprint")
                         .unionByName(fr.filter(~F.col("_allowed"))
@@ -1546,8 +1601,10 @@ class CrawlEngine:
         for name, _, full in writes:
             tables[name] = [paths[name]] if full \
                 else tables.get(name, []) + [paths[name]]
-        if cfg.frontier_deltas and compacting:
-            tables["frontier_delta"] = []   # base now carries full state
+        if compacting:
+            # base now carries full state — also covers the auto-mode
+            # downshift, where a full rewrite must retire earlier deltas
+            tables.pop("frontier_delta", None)
 
         m_pd = pd.read_parquet(paths["metrics"])
         sums = {k: int(m_pd[k].sum()) for k in METRIC_KEYS} if len(m_pd) else \

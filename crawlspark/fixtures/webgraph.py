@@ -453,16 +453,24 @@ def generate(n_pages: int = 300, seed: int = 42,
 
     pages = pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 
-    # --- host_policy: mega hosts get salt_n>1 (explicit skew handling J6)
+    # --- host_policy: mega hosts get salt_n>1 (explicit skew handling J6).
+    # X18 (r5): the ip column is the sandbox "resolver" for
+    # CONCURRENT_REQUESTS_PER_IP — megas get dedicated IPs; small hosts
+    # co-host 3-per-IP (a shared-CDN shape), deterministic from host index
+    # so engine and oracle resolve identically.
     prows = []
-    for h in hosts:
+    for i, h in enumerate(hosts):
         mega = h in MEGA_HOSTS
+        ip = f"203.0.113.{i + 1}" if mega \
+            else f"198.51.100.{(i - len(MEGA_HOSTS)) // 3 + 1}"
         prows.append((h,
                       round(rng.choice([0.25, 0.5, 0.75, 1.0]), 2),
                       8 if mega else rng.choice([2, 4, 8]),
-                      8 if mega else 1))
+                      8 if mega else 1,
+                      ip))
     host_policy = pd.DataFrame(
-        prows, columns=["host", "crawl_delay_s", "max_concurrency", "salt_n"])
+        prows, columns=["host", "crawl_delay_s", "max_concurrency", "salt_n",
+                        "ip"])
 
     # --- seeds: both megas + a sample of small hosts, roots first (R1
     # order); sitemap seeds append AFTER the page seeds (kind column is

