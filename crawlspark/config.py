@@ -336,6 +336,22 @@ class CrawlConfig:
                                             # keys persist in host_state, so
                                             # flipping it mid-resume is
                                             # undefined (like seen_filter).
+    broadcast_host_max_bytes: int = 32 * 1024 * 1024
+                                            # J1/J2/F4 join strategy (r5,
+                                            # VERDICT r04 #1): hint
+                                            # F.broadcast on the per-host
+                                            # tables (policy/robots/
+                                            # host_state/host_round) only
+                                            # while their measured parquet
+                                            # bytes stay under this; above
+                                            # it (broad-crawl 10^7-10^8
+                                            # hosts) every such join is
+                                            # left to Catalyst/AQE as a
+                                            # plain shuffled equi-join —
+                                            # a forced hint would override
+                                            # Spark's size check and OOM.
+                                            # 0 = never hint (the test
+                                            # lever for the unhinted path).
     driver_shard_cache: bool = True         # keep shard bytes in driver RAM
                                             # between rounds (saves 1 collect
                                             # + 1 shuffle per round; turn OFF

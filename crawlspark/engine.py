@@ -355,7 +355,8 @@ class CrawlEngine:
         # executors (the same failure mode similarity.py's
         # BROADCAST_EMB_MAX_ROWS guard closed in r4). Decide ONCE from the
         # measured fixture bytes: robots (the widest per-host table — it
-        # carries the prefix arrays) + policy under 32 MB -> hint;
+        # carries the prefix arrays) + policy under
+        # cfg.broadcast_host_max_bytes (32 MB default; 0 = never) -> hint;
         # otherwise leave all four joins to Catalyst/AQE as plain shuffled
         # equi-joins on host. host_state/host_round cardinality tracks the
         # same host set, so one decision governs all four sites.
@@ -363,7 +364,7 @@ class CrawlEngine:
                       + _parquet_bytes(os.path.join(fx,
                                                     "host_policy.parquet")))
         self._bcast_host = (F.broadcast
-                            if host_bytes < 32 * 1024 * 1024
+                            if host_bytes < cfg.broadcast_host_max_bytes
                             else (lambda df: df))
         # X18 (r5) CONCURRENT_REQUESTS_PER_IP [S:scrapy/core/downloader/
         # __init__.py::Downloader._get_slot_key]: politeness slots key on
