@@ -72,8 +72,21 @@ def one_trial(spark, fx: str, cfg, rounds: int) -> dict:
         ded = sum(r["deduped"] for r in
                   eng.metrics_df(m).select("deduped").collect())
         fetched = m["state"]["total_fetched"]
+        # delta-append rounds (evidence the auto rule actually upshifted:
+        # the final manifest's frontier_delta list holds one path per
+        # non-compaction round that wrote deltas since the last compaction;
+        # count ALL committed manifests' delta writes instead)
+        import json as _json
+        dw = 0
+        prev = 0
+        for sn in sorted(os.listdir(eng.store.snap_dir)):
+            with open(os.path.join(eng.store.snap_dir, sn)) as f:
+                n = len(_json.load(f)["tables"].get("frontier_delta", []))
+            dw += 1 if n > prev else 0
+            prev = n
         return {"seconds": round(dt, 2), "rounds": m["round"] + 1,
                 "urls_fetched": fetched, "urls_deduped": int(ded),
+                "delta_rounds": dw, "pending_final": m["state"]["pending"],
                 "urls_per_sec": round((fetched + ded) / dt, 2)}
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -91,10 +104,19 @@ def main() -> int:
                          "this tier the frontier base (~n_pages rows) is "
                          ">>1 round's events, the regime where full-rewrite "
                          "pays O(frontier) bytes per round")
+    ap.add_argument("--frontier-mode", choices=["full", "deltas", "auto"],
+                    default=None,
+                    help="overrides --frontier-deltas; 'auto' exercises the "
+                         "r5 default rule (delta mode iff round-start "
+                         "pending > frontier_deltas_auto_rows) at a tier "
+                         "where pending actually crosses the threshold")
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args()
 
-    cfg = make_config(args.round_cap, args.rounds, args.frontier_deltas)
+    mode = args.frontier_mode or \
+        ("deltas" if args.frontier_deltas else "full")
+    deltas_val = {"full": False, "deltas": True, "auto": "auto"}[mode]
+    cfg = make_config(args.round_cap, args.rounds, deltas_val)
     fx = ensure_fixture(args.n_pages, cfg)
     spark = build_session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,8 +133,8 @@ def main() -> int:
     best = max(trials, key=lambda t: t["urls_per_sec"])
     out = {"n_pages": args.n_pages, "round_cap": args.round_cap,
            "rounds": args.rounds, "cores": args.cores,
-           "frontier_mode": "deltas" if args.frontier_deltas
-           else "full-rewrite",
+           "frontier_mode": {"full": "full-rewrite", "deltas": "deltas",
+                             "auto": "auto"}[mode],
            "median_urls_per_sec": med, "trials": trials}
     print(json.dumps(out))
     print(f"| {args.n_pages:,} pages | {args.round_cap:,} | "
