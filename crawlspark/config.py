@@ -163,13 +163,22 @@ class CrawlConfig:
                                             # design point the delta mode is
                                             # mandatory — rewriting a 10-TB
                                             # frontier per round is not.
-    frontier_deltas_auto_rows: int = 200_000  # auto-mode upshift threshold,
-                                            # inside the MEASURED full-
-                                            # rewrite/MOR crossover bracket
-                                            # (r4 amortization tiers,
-                                            # BENCH/BASELINE.md: full-
-                                            # rewrite still won at 100k
-                                            # pages, MOR won at 300k)
+    frontier_deltas_auto_rows: int = 20_000  # auto-mode upshift threshold,
+                                            # calibrated in PENDING-row
+                                            # units from the measured
+                                            # full-rewrite/MOR crossover
+                                            # (BENCH/BASELINE.md): at the
+                                            # 100k-page tier, where full-
+                                            # rewrite WINS, round-start
+                                            # pending peaks at 12,106; at
+                                            # the 300k tier, where MOR is
+                                            # 1.68-1.78x faster, it peaks
+                                            # at 36,751 — 20k sits between
+                                            # the two profiles (the r5.0
+                                            # default of 200k was quoted
+                                            # in n_pages units by mistake
+                                            # and never upshifted at any
+                                            # measured tier)
     frontier_compact_every: int = 8         # delta-mode compaction cadence
     httpcache_expiration_rounds: int = 0    # X12 TTL (r3)
                                             # [S:scrapy/extensions/httpcache
