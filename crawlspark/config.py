@@ -152,33 +152,54 @@ class CrawlConfig:
                                             # "auto" (default, r5 — VERDICT
                                             # r04 #6): per round, delta mode
                                             # iff the round-START pending
-                                            # count exceeds frontier_deltas_
-                                            # auto_rows — small crawls keep
-                                            # the simple full-rewrite plan,
-                                            # big ones get the O(round)
-                                            # write path without opting in;
-                                            # a shrinking tail downshifts
-                                            # back (the full write doubles
-                                            # as compaction). At the 10^10
-                                            # design point the delta mode is
-                                            # mandatory — rewriting a 10-TB
-                                            # frontier per round is not.
-    frontier_deltas_auto_rows: int = 20_000  # auto-mode upshift threshold,
-                                            # calibrated in PENDING-row
-                                            # units from the measured
-                                            # full-rewrite/MOR crossover
+                                            # count exceeds the auto
+                                            # threshold below — small crawls
+                                            # keep the simple full-rewrite
+                                            # plan, big ones get the
+                                            # O(round) write path without
+                                            # opting in; a shrinking tail
+                                            # downshifts back (the full
+                                            # write doubles as compaction).
+                                            # At the 10^10 design point the
+                                            # delta mode is mandatory —
+                                            # rewriting a 10-TB frontier per
+                                            # round is not.
+    frontier_deltas_auto_rows: int | None = None  # absolute upshift
+                                            # threshold override (pending
+                                            # rows); None (default) uses the
+                                            # dimensionless ratio rule below
+    frontier_deltas_auto_ratio: float = 4.0  # default auto rule: delta mode
+                                            # iff round-start pending >
+                                            # ratio * round_cap. The units
+                                            # are the COSTS being traded: a
+                                            # full rewrite writes O(pending)
+                                            # rows; MOR appends O(round_cap)
+                                            # events + pending/compact_every
+                                            # amortized compaction, and pays
+                                            # read-resolve on every scan. At
+                                            # pending = 4x round_cap (with
+                                            # compact_every=8) MOR writes
+                                            # ~2.7x fewer bytes — enough to
+                                            # beat its read amplification;
+                                            # below that the rewrite is
+                                            # comparable-or-cheaper AND
+                                            # read-amp-free. Measured
                                             # (BENCH/BASELINE.md): at the
-                                            # 100k-page tier, where full-
-                                            # rewrite WINS, round-start
-                                            # pending peaks at 12,106; at
-                                            # the 300k tier, where MOR is
-                                            # 1.68-1.78x faster, it peaks
-                                            # at 36,751 — 20k sits between
-                                            # the two profiles (the r5.0
-                                            # default of 200k was quoted
-                                            # in n_pages units by mistake
-                                            # and never upshifted at any
-                                            # measured tier)
+                                            # 300k tier, pending/round_cap
+                                            # ~= 1.1, interleaved quiet-
+                                            # window pairs put full-rewrite
+                                            # 13-24% AHEAD (2,430-2,617 vs
+                                            # 2,115-2,145 URLs/s) while the
+                                            # r4 contended window showed
+                                            # MOR 1.68-1.78x ahead — at
+                                            # ratio ~1 the mode choice is
+                                            # I/O-regime noise, so the rule
+                                            # reserves MOR for the regime
+                                            # where its win is structural
+                                            # (a 10^10-row frontier at
+                                            # round_cap 10^5-10^6 has ratio
+                                            # 10^4+ and CANNOT be rewritten
+                                            # per round)
     frontier_compact_every: int = 8         # delta-mode compaction cadence
     httpcache_expiration_rounds: int = 0    # X12 TTL (r3)
                                             # [S:scrapy/extensions/httpcache

@@ -1499,11 +1499,17 @@ class CrawlEngine:
         # C1 frontier persistence: full rewrite, or (delta mode) O(round)
         # add/remove events with periodic base compaction. "auto" (r5):
         # delta mode engages per round when the round-START pending count
-        # exceeds the measured full-rewrite/MOR crossover; a shrinking
+        # (what a full rewrite writes) exceeds the threshold — by default
+        # frontier_deltas_auto_ratio * round_cap, the dimensionless form
+        # of the rewrite-vs-append cost trade (see config.py rationale);
+        # frontier_deltas_auto_rows overrides it absolutely. A shrinking
         # tail downshifts and the full rewrite doubles as compaction.
+        auto_thresh = (cfg.frontier_deltas_auto_rows
+                       if cfg.frontier_deltas_auto_rows is not None
+                       else cfg.frontier_deltas_auto_ratio * cfg.round_cap)
         deltas_on = (cfg.frontier_deltas is True) or \
             (cfg.frontier_deltas == "auto"
-             and st.get("pending", 0) > cfg.frontier_deltas_auto_rows)
+             and st.get("pending", 0) > auto_thresh)
         compacting = (not deltas_on) or \
             (rnd % cfg.frontier_compact_every == 0)
         if deltas_on and not compacting:

@@ -108,8 +108,8 @@ def main() -> int:
                     default=None,
                     help="overrides --frontier-deltas; 'auto' exercises the "
                          "r5 default rule (delta mode iff round-start "
-                         "pending > frontier_deltas_auto_rows) at a tier "
-                         "where pending actually crosses the threshold")
+                         "pending > frontier_deltas_auto_ratio * round_cap; "
+                         "frontier_deltas_auto_rows = absolute override)")
     ap.add_argument("--skip-warmup", action="store_true")
     args = ap.parse_args()
 

@@ -89,9 +89,10 @@ def main() -> int:
     full = run_mode(spark, fx, False, args.rounds)
     delta = run_mode(spark, fx, True, args.rounds)
     # r5 (VERDICT r04 #6): the "auto" default — per round, delta mode iff
-    # round-start pending > frontier_deltas_auto_rows (the measured
-    # crossover bracket). The row evidences that a DEFAULT config picks
-    # the faster mode at each scale without opting in.
+    # round-start pending > frontier_deltas_auto_ratio * round_cap (the
+    # dimensionless rewrite-vs-append cost trade; auto_rows = absolute
+    # override). The row evidences that a DEFAULT config picks the
+    # structurally right mode at each scale without opting in.
     auto = run_mode(spark, fx, "auto", args.rounds)
     amp = (full["frontier_write_mb"] / delta["frontier_write_mb"]
            if delta["frontier_write_mb"] else float("inf"))

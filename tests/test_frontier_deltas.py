@@ -153,6 +153,43 @@ def test_auto_mode_parity_and_switch(spark, fd_setup, tmp_path_factory):
     assert rows[-1][2] == 0
 
 
+def test_auto_mode_default_ratio_rule(spark, fd_setup, tmp_path_factory):
+    """With no absolute override (frontier_deltas_auto_rows=None, the
+    default), the rule is pending > frontier_deltas_auto_ratio *
+    round_cap. ratio 0.3 at round_cap 64 puts the threshold at 19.2 —
+    inside this fixture's pending trajectory (peak 39, tail to 0), so
+    one run exercises upshift AND downshift under the default rule, and
+    the crawl output still equals the full-rewrite run exactly."""
+    fx, base_cfg, _, _, _ = fd_setup
+    cfg = CrawlConfig(**{**base_cfg.to_dict(),
+                         "allowed_domains": base_cfg.allowed_domains,
+                         "frontier_deltas": "auto",
+                         "frontier_deltas_auto_rows": None,
+                         "frontier_deltas_auto_ratio": 0.3,
+                         "frontier_compact_every": 3})
+    assert cfg.round_cap == 64
+    eng = CrawlEngine(spark, fx,
+                      str(tmp_path_factory.mktemp("fda_ratio")), cfg)
+    manifest = eng.run()
+    got = (eng.crawl_order_df(manifest).orderBy("rank")
+           .toPandas()[ORDER_COLS].reset_index(drop=True))
+    _, _, got_f = _auto_run(spark, tmp_path_factory, fx, base_cfg,
+                            False, 20, "ratio_full")
+    pd.testing.assert_frame_equal(got, got_f)
+
+    thresh = 0.3 * 64
+    rows = _manifest_rows(eng)
+    wrote_delta = [rows[i][1] > rows[i - 1][1] for i in range(1, len(rows))]
+    should = [rows[i - 1][2] > thresh and rows[i][0] % 3 != 0
+              for i in range(1, len(rows))]
+    assert wrote_delta == should
+    assert any(wrote_delta), "ratio threshold never crossed"
+    first_delta = min(i for i, w in enumerate(wrote_delta) if w)
+    assert any(not wrote_delta[j] and rows[j + 1][0] % 3 != 0
+               for j in range(first_delta + 1, len(wrote_delta))), \
+        "tail never downshifted under the ratio rule"
+
+
 def test_auto_mode_thresholds_degenerate(spark, fd_setup, tmp_path_factory):
     """threshold 0 ~= always-delta; huge threshold == never-delta."""
     fx, base_cfg, _, _, _ = fd_setup
